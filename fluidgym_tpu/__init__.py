@@ -1,0 +1,37 @@
+"""FluidGym-TPU: a TPU-native, fully differentiable benchmark suite for
+reinforcement learning in active flow control.
+
+Built from scratch in JAX (jit/vmap/pjit + Pallas) with the capabilities of
+the reference FluidGym framework: an embedded incompressible Navier-Stokes
+PISO solver, Gymnasium-style environments across four physics families
+(cylinder wake, airfoil, Rayleigh-Benard convection, turbulent channel flow),
+SARL and MARL modes, wrapper/integration layers, batched envs via vmap and
+device meshes, and end-to-end reverse-mode differentiability through the
+solver.
+
+Public API mirrors the reference: ``fluidgym_tpu.make(id, **kwargs)`` plus the
+``config`` singleton.
+"""
+
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: PISO-step compilations are expensive (minutes)
+# and identical across processes; opt out with FLUIDGYM_TPU_NO_COMPILE_CACHE.
+if not _os.environ.get("FLUIDGYM_TPU_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("FLUIDGYM_TPU_COMPILE_CACHE",
+                        "/tmp/fluidgym_tpu_jax_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from fluidgym_tpu.config import config
+from fluidgym_tpu.registry import make, register, registry
+
+# Environment registration (populates the registry with env ids).
+from fluidgym_tpu import envs as _envs  # noqa: E402,F401
+
+__all__ = ["config", "make", "register", "registry"]
+__version__ = "0.1.0"

@@ -1,0 +1,52 @@
+"""Environment families and registration.
+
+Mirrors the reference env catalogue
+(``/root/reference/src/fluidgym/__init__.py:28-352``).  Families are
+registered as they are implemented; the full catalogue is 35 ids across
+cylinder / RBC / TCF / airfoil x easy/medium/hard.
+"""
+
+from fluidgym_tpu.envs.fluid_env import FluidEnv
+from fluidgym_tpu.registry import register
+
+__all__ = ["FluidEnv"]
+
+
+def _register_rbc() -> None:
+    from fluidgym_tpu.envs.rbc import (
+        RBC_2D_DEFAULT_CONFIG,
+        RBC_3D_DEFAULT_CONFIG,
+        RBCEnv2D,
+        RBCEnv3D,
+    )
+
+    # 2D RBC (reference __init__.py:106-157)
+    register("RBC2D-easy-v0", RBCEnv2D, RBC_2D_DEFAULT_CONFIG,
+             rayleigh_number=8e4, adaptive_cfl=0.8)
+    register("RBC2D-medium-v0", RBCEnv2D, RBC_2D_DEFAULT_CONFIG,
+             rayleigh_number=4e5, adaptive_cfl=0.5)
+    register("RBC2D-hard-v0", RBCEnv2D, RBC_2D_DEFAULT_CONFIG,
+             rayleigh_number=8e5, adaptive_cfl=0.5)
+    register("RBC2D-wide-easy-v0", RBCEnv2D, RBC_2D_DEFAULT_CONFIG,
+             aspect_ratio=2, n_heaters=24, rayleigh_number=8e4)
+    register("RBC2D-wide-medium-v0", RBCEnv2D, RBC_2D_DEFAULT_CONFIG,
+             aspect_ratio=2, n_heaters=24, rayleigh_number=4e5, adaptive_cfl=0.5)
+    register("RBC2D-wide-hard-v0", RBCEnv2D, RBC_2D_DEFAULT_CONFIG,
+             aspect_ratio=2, n_heaters=24, rayleigh_number=8e5, adaptive_cfl=0.5)
+
+    # 3D RBC (reference __init__.py:162-215)
+    register("RBC3D-easy-v0", RBCEnv3D, RBC_3D_DEFAULT_CONFIG,
+             rayleigh_number=6e3, adaptive_cfl=0.5)
+    register("RBC3D-medium-v0", RBCEnv3D, RBC_3D_DEFAULT_CONFIG,
+             rayleigh_number=8e3, adaptive_cfl=0.5)
+    register("RBC3D-hard-v0", RBCEnv3D, RBC_3D_DEFAULT_CONFIG,
+             rayleigh_number=1e4, adaptive_cfl=0.5)
+    register("RBC3D-wide-easy-v0", RBCEnv3D, RBC_3D_DEFAULT_CONFIG,
+             aspect_ratio=2, n_heaters=16, rayleigh_number=6e3, adaptive_cfl=0.5)
+    register("RBC3D-wide-medium-v0", RBCEnv3D, RBC_3D_DEFAULT_CONFIG,
+             aspect_ratio=2, n_heaters=16, rayleigh_number=8e3, adaptive_cfl=0.5)
+    register("RBC3D-wide-hard-v0", RBCEnv3D, RBC_3D_DEFAULT_CONFIG,
+             aspect_ratio=2, n_heaters=16, rayleigh_number=1e4, adaptive_cfl=0.5)
+
+
+_register_rbc()

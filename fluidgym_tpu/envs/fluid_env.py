@@ -1,0 +1,682 @@
+"""Abstract base class for FluidGym-TPU environments.
+
+API-compatible re-expression of the reference ``FluidEnv``
+(``/root/reference/src/fluidgym/envs/fluid_env.py:64-1363``) around a purely
+functional simulation core:
+
+* the mutable C++ Domain becomes an immutable ``DomainState`` pytree held by
+  the (host-side, stateful) env object;
+* per-step simulation work is one jitted function (``lax.scan`` over
+  ``n_sim_steps`` adaptive PISO steps) instead of a Python loop over CUDA
+  launches;
+* the torch/np RNG trio (fluid_env.py:844-860) becomes a ``jax.random`` key
+  plus a numpy Generator for host-side decisions;
+* ``get_state``/``set_state`` clone-free: pytrees are immutable values
+  (fluid_env.py:1320-1363); ``detach`` maps to ``stop_gradient``
+  (fluid_env.py:1280-1289).
+
+Environment surface kept verbatim: ``reset/step/seed/init/render/save_gif/
+train/val/test/sample_action/get_state/set_state/load_initial_domain``,
+Dict observation spaces, SARL/MARL dispatch, truncation at episode_length,
+metric statistics and uncontrolled-episode tracking.
+"""
+
+from __future__ import annotations
+
+import logging
+from abc import ABC, abstractmethod
+from collections import defaultdict
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from gymnasium import spaces
+
+from fluidgym_tpu.config import config as fluidgym_config
+from fluidgym_tpu.core.domain import BlockGeom, DomainState, DomainTopo
+from fluidgym_tpu.core.domain_io import load_domain, save_domain
+from fluidgym_tpu.solver.piso import Hooks, SimConfig, single_step
+from fluidgym_tpu.types import EnvMode, FluidEnvLike
+from fluidgym_tpu.utils import data_utils
+
+Array = jax.Array
+
+
+class Stats(NamedTuple):
+    """Statistical summary of a metric (reference fluid_env.py:33-43)."""
+
+    mean: float
+    min: float
+    max: float
+    p5: float
+    p25: float
+    p50: float
+    p75: float
+    p95: float
+
+    @classmethod
+    def from_values(cls, values: np.ndarray) -> "Stats":
+        v = np.asarray(values, np.float64)
+        p = np.percentile(v, [5, 25, 50, 75, 95])
+        return cls(float(v.mean()), float(v.min()), float(v.max()),
+                   float(p[0]), float(p[1]), float(p[2]), float(p[3]), float(p[4]))
+
+
+@dataclass
+class EnvState:
+    """Snapshot of a FluidEnv for get_state/set_state (fluid_env.py:46-54)."""
+
+    class_name: str
+    domain: DomainState
+    n_steps: int
+    mode: EnvMode
+    additional_info: dict[str, Any]
+
+
+# Number of initial domains per mode and the per-mode generation seeds
+# (reference fluid_env.py:58-61).
+N_INITIAL_DOMAINS = 10
+MODE_SEEDS = {EnvMode.TRAIN: 100, EnvMode.VAL: 200, EnvMode.TEST: 300}
+
+
+class FluidEnv(ABC, FluidEnvLike):
+    """Abstract base class for FluidGym-TPU environments."""
+
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 24}
+
+    _default_render_key: str
+    _ndims: int
+    _supports_marl: bool = False
+    _metrics: list[str] = []
+    _initial_domain_steps: int = 0
+    _initial_domain_restart: bool = True
+
+    def __init__(
+        self,
+        adaptive_cfl: float,
+        dt: float,
+        step_length: float,
+        episode_length: int,
+        ndims: int,
+        use_marl: bool,
+        dtype=None,
+        auto_render: bool = False,
+        load_initial_domain: bool = True,
+        load_domain_statistics: bool = True,
+        randomize_initial_state: bool = True,
+        enable_actions: bool = True,
+        differentiable: bool = False,
+    ):
+        super().__init__()
+        if ndims not in (2, 3):
+            raise ValueError("ndims must be 2 or 3.")
+        self._ndims = ndims
+        self._dt = float(dt)
+        self._adaptive_cfl = float(adaptive_cfl)
+        self._step_length = float(step_length)
+        self._episode_length = int(episode_length)
+        self._use_marl = bool(use_marl)
+        if self._use_marl and not self._supports_marl:
+            raise ValueError("This env does not support multi-agent mode.")
+        self._dtype = dtype or fluidgym_config.dtype
+        self._auto_render = bool(auto_render)
+        self._load_domain_on_reset = bool(load_initial_domain)
+        self._randomize_initial_state = bool(randomize_initial_state)
+        self._enable_actions = bool(enable_actions)
+        self._differentiable = bool(differentiable)
+
+        self._seed_value: int | None = None
+        self._key: Array | None = None
+        self._np_rng: np.random.Generator | None = None
+        self._reset_called = False
+        self._n_episodes = 0
+        self._n_steps = 0
+        self._mode: EnvMode = EnvMode.TRAIN
+        self._frames: dict[str, list] = defaultdict(list)
+        self._metrics_stats: dict[str, Stats] = {}
+        self._uncontrolled_episode: list[dict] | None = None
+
+        # functional sim pieces, populated by _set_initial_state
+        self._topo: DomainTopo | None = None
+        self._geoms: tuple[BlockGeom, ...] | None = None
+        self._state: DomainState | None = None
+        self._cfg: SimConfig | None = None
+        self._hooks: Hooks | None = None
+        self._jit_cache: dict[str, Any] = {}
+
+        if load_initial_domain or load_domain_statistics:
+            data_utils.prepare_initial_domains(self.initial_domain_id)
+        if load_domain_statistics:
+            self._load_domain_statistics()
+        else:
+            self._logger.warning(
+                "Domain statistics not loaded; reward normalization uses "
+                "defaults. Only use this for debugging or development."
+            )
+
+        self._action_space = self._get_action_space()
+        self._observation_space = self._get_observation_space()
+
+        if self._use_marl:
+            action_shape = (self.n_agents, *self._action_space.shape)
+        else:
+            action_shape = self._action_space.shape
+        self._zero_action = jnp.zeros(action_shape, self._dtype)
+
+    # ------------------------------------------------------------------
+    # abstract hooks (same set as reference fluid_env.py)
+    # ------------------------------------------------------------------
+    @abstractmethod
+    def _get_action_space(self) -> spaces.Box: ...
+
+    @abstractmethod
+    def _get_observation_space(self) -> spaces.Dict: ...
+
+    @abstractmethod
+    def _get_domain(self) -> tuple[DomainTopo, tuple[BlockGeom, ...], DomainState]: ...
+
+    @abstractmethod
+    def _get_prep_fn(self) -> Hooks: ...
+
+    @abstractmethod
+    def _get_simulation(self) -> SimConfig: ...
+
+    def _additional_initialization(self) -> None:
+        pass
+
+    @abstractmethod
+    def _apply_action(self, action: Array) -> None: ...
+
+    @abstractmethod
+    def _get_global_obs(self) -> dict[str, Array]: ...
+
+    def _get_local_obs(self) -> dict[str, Array]:
+        raise NotImplementedError
+
+    @abstractmethod
+    def _randomize_domain(self) -> None: ...
+
+    @abstractmethod
+    def _get_render_data(self, render_3d: bool, output_path: Path | None = None) -> dict[str, np.ndarray]: ...
+
+    @abstractmethod
+    def _step_impl(self, action: Array) -> tuple[dict[str, Array], Array, bool, dict[str, Array]]: ...
+
+    def _step_marl_impl(self, action: Array) -> tuple[Array, Array, bool, dict[str, Array]]:
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # properties
+    # ------------------------------------------------------------------
+    @property
+    def _logger(self) -> logging.Logger:
+        return logging.getLogger(self.__class__.__name__)
+
+    @property
+    def action_space(self) -> spaces.Box:
+        return self._action_space
+
+    @property
+    def observation_space(self) -> spaces.Dict:
+        return self._observation_space
+
+    @property
+    def use_marl(self) -> bool:
+        return self._use_marl
+
+    @property
+    @abstractmethod
+    def n_agents(self) -> int: ...
+
+    @property
+    def step_length(self) -> float:
+        return self._step_length
+
+    @property
+    def episode_length(self) -> int:
+        return self._episode_length
+
+    @property
+    def dt(self) -> float:
+        return self._dt
+
+    @property
+    def ndims(self) -> int:
+        return self._ndims
+
+    @property
+    @abstractmethod
+    def render_shape(self) -> tuple[int, ...]: ...
+
+    @property
+    def metrics(self) -> list[str]:
+        return self._metrics
+
+    @property
+    def time_passed(self) -> float:
+        return self._n_steps * self._step_length
+
+    @property
+    def _n_sim_steps(self) -> int:
+        """Simulation steps per env step (fluid_env.py:839-842)."""
+        return max(1, int(self._step_length / self._dt))
+
+    @property
+    def n_sim_steps(self) -> int:
+        return self._n_sim_steps
+
+    @property
+    def mode(self) -> EnvMode:
+        return self._mode
+
+    @mode.setter
+    def mode(self, mode: EnvMode) -> None:
+        if mode not in (EnvMode.TRAIN, EnvMode.VAL, EnvMode.TEST):
+            raise ValueError("mode must be 'train', 'val', or 'test'.")
+        self._mode = mode
+
+    @property
+    def differentiable(self) -> bool:
+        return self._differentiable
+
+    @property
+    @abstractmethod
+    def id(self) -> str: ...
+
+    @property
+    @abstractmethod
+    def initial_domain_id(self) -> str: ...
+
+    @property
+    def unwrapped(self) -> "FluidEnv":
+        return self
+
+    def train(self) -> None:
+        self.mode = EnvMode.TRAIN
+
+    def val(self) -> None:
+        self.mode = EnvMode.VAL
+
+    def test(self) -> None:
+        self.mode = EnvMode.TEST
+
+    # ------------------------------------------------------------------
+    # RNG
+    # ------------------------------------------------------------------
+    def seed(self, seed: int) -> None:
+        """Seed the env RNGs (fluid_env.py:844-860)."""
+        if seed is None:
+            raise ValueError("Seed cannot be None.")
+        self._seed_value = int(seed)
+        self._key = jax.random.PRNGKey(int(seed))
+        self._np_rng = np.random.default_rng(int(seed))
+
+    def _next_key(self) -> Array:
+        if self._key is None:
+            raise RuntimeError("Environment must be seeded first.")
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def sample_action(self) -> Array:
+        """Uniform random action from the action space (fluid_env.py:360)."""
+        if self._seed_value is None:
+            raise RuntimeError("Environment must be seeded before sampling actions.")
+        low = jnp.asarray(self._action_space.low, self._dtype)
+        high = jnp.asarray(self._action_space.high, self._dtype)
+        r = jax.random.uniform(self._next_key(), self._zero_action.shape,
+                               self._dtype)
+        return low + (high - low) * r
+
+    # ------------------------------------------------------------------
+    # sim plumbing
+    # ------------------------------------------------------------------
+    def _jitted_single_step(self):
+        """Jitted one-dt simulation step (compiled once per env config)."""
+        if "single_step" not in self._jit_cache:
+            geoms, topo, cfg, hooks = self._geoms, self._topo, self._cfg, self._hooks
+
+            @jax.jit
+            def fn(state: DomainState) -> DomainState:
+                return single_step(state, geoms, topo, cfg, hooks)
+
+            self._jit_cache["single_step"] = fn
+        return self._jit_cache["single_step"]
+
+    def _jitted_sim_steps(self):
+        """Jitted scan over n_sim_steps single steps (one env step of physics)."""
+        if "sim_steps" not in self._jit_cache:
+            geoms, topo, cfg, hooks = self._geoms, self._topo, self._cfg, self._hooks
+            n = self._n_sim_steps
+
+            @jax.jit
+            def fn(state: DomainState) -> DomainState:
+                def body(s, _):
+                    return single_step(s, geoms, topo, cfg, hooks), None
+
+                state2, _ = jax.lax.scan(body, state, None, length=n)
+                return state2
+
+            self._jit_cache["sim_steps"] = fn
+        return self._jit_cache["sim_steps"]
+
+    def _run_sim_steps(self) -> None:
+        """Advance the held state by one env step of physical time."""
+        self._state = self._jitted_sim_steps()(self._state)
+
+    def _run_single_step(self) -> None:
+        self._state = self._jitted_single_step()(self._state)
+
+    # -- pure step protocol (enables vmap batching and fused jit) ----------
+    def _pure_step(self, state: DomainState, action: Array):
+        """Pure env step: ``(state, action) -> (state, obs, reward, info)``.
+
+        Subclasses that implement this get (a) a single fused jit call per
+        env step and (b) vmap batching via ``parallel.BatchedFluidEnv`` (the
+        TPU-native replacement of the reference's process-per-GPU
+        ParallelFluidEnv).  Must only close over static configuration.
+        """
+        raise NotImplementedError
+
+    def _pure_local_obs(self, state: DomainState):
+        """Pure MARL observation extraction from a domain state."""
+        raise NotImplementedError
+
+    def _jitted_env_step(self):
+        if "env_step" not in self._jit_cache:
+            self._jit_cache["env_step"] = jax.jit(self._pure_step)
+        return self._jit_cache["env_step"]
+
+    # ------------------------------------------------------------------
+    # initial state
+    # ------------------------------------------------------------------
+    def _initial_domain_path(self, mode: EnvMode, idx: int) -> Path:
+        return (data_utils.initial_domain_dir(self.initial_domain_id)
+                / f"{mode.value}_{idx:02d}")
+
+    def _load_initial_domain(self, mode: EnvMode, idx: int):
+        return load_domain(self._initial_domain_path(mode, idx), dtype=self._dtype)
+
+    def _save_initial_domain(self, mode: EnvMode, idx: int) -> None:
+        save_domain(self._topo, self._geoms, self._state,
+                    self._initial_domain_path(mode, idx))
+
+    def _check_initial_domains_exist(self, mode: EnvMode | None = None,
+                                     idx: int | None = None) -> bool:
+        modes = list(MODE_SEEDS) if mode is None else [mode]
+        idxs = range(N_INITIAL_DOMAINS) if idx is None else [idx]
+        try:
+            for i in idxs:
+                for m in modes:
+                    self._load_initial_domain(m, i)
+            return True
+        except FileNotFoundError:
+            return False
+
+    def _set_initial_state(self, randomize: bool | None = None) -> None:
+        """(Re)build topo/geoms/state (+sim config) for a new episode
+        (fluid_env.py:507-551)."""
+        if randomize is None:
+            randomize = self._randomize_initial_state
+
+        if self._load_domain_on_reset:
+            try:
+                idx = int(self._np_rng.integers(0, N_INITIAL_DOMAINS)) if randomize else 0
+                self._topo, self._geoms, self._state = self._load_initial_domain(
+                    self.mode, idx
+                )
+                try:
+                    self._uncontrolled_episode = data_utils.load_uncontrolled_episode(
+                        self.initial_domain_id, self.mode.value, idx
+                    )
+                except FileNotFoundError:
+                    self._uncontrolled_episode = None
+            except FileNotFoundError as err:
+                raise RuntimeError(
+                    "Initial domain not found. Generate it with env.init() or "
+                    "construct the env with load_initial_domain=False."
+                ) from err
+        else:
+            self._topo, self._geoms, self._state = self._get_domain()
+
+        self._hooks = self._get_prep_fn()
+        self._cfg = self._get_simulation()
+        self._jit_cache.clear()
+        self._additional_initialization()
+
+        if randomize:
+            self._randomize_domain()
+
+    # ------------------------------------------------------------------
+    # core loop
+    # ------------------------------------------------------------------
+    def reset(self, seed: int | None = None, randomize: bool | None = None):
+        """Reset to an initial state (fluid_env.py:862-917)."""
+        if self._auto_render and len(self._frames) > 0:
+            self.save_gif(filename=f"episode_{self._n_episodes}")
+        self._frames = defaultdict(list)
+
+        if seed is None:
+            if self._seed_value is None:
+                raise ValueError(
+                    "Seed must be provided either during reset or by calling seed()."
+                )
+        else:
+            self.seed(seed)
+
+        self._set_initial_state(randomize=randomize)
+        self._reset_called = True
+        self._n_steps = 0
+        self._n_episodes += 1
+
+        self._apply_action(self._zero_action)
+        obs = self._get_local_obs() if self._use_marl else self._get_global_obs()
+        info: dict[str, Array] = {}
+        return obs, info
+
+    def step(self, action: Array):
+        """One env step (fluid_env.py:749-800)."""
+        if not self._reset_called:
+            raise RuntimeError(
+                "Environment must be reset before stepping. Call 'reset()' "
+                "before 'step()'."
+            )
+        action = jnp.asarray(action, self._dtype)
+        if action.shape != self._zero_action.shape:
+            raise ValueError(
+                f"Action shape {action.shape} does not match expected shape "
+                f"{self._zero_action.shape}."
+            )
+        if self._n_steps >= self._episode_length:
+            raise RuntimeError("Episode has already terminated. Call 'reset()' first.")
+
+        if self._use_marl:
+            obs, reward, terminated, info = self._step_marl_impl(action)
+        else:
+            obs, reward, terminated, info = self._step_impl(action)
+
+        self._n_steps += 1
+        truncated = self._n_steps >= self._episode_length
+        if self._auto_render:
+            self.render()
+        info = {k: jax.lax.stop_gradient(v) for k, v in info.items()}
+        return obs, reward, terminated, truncated, info
+
+    # ------------------------------------------------------------------
+    # state management
+    # ------------------------------------------------------------------
+    def get_state(self) -> EnvState:
+        """Snapshot env state (fluid_env.py:1320-1341)."""
+        return EnvState(
+            class_name=self.__class__.__name__,
+            domain=self._state,
+            n_steps=self._n_steps,
+            mode=self._mode,
+            additional_info=self._get_additional_state_info(),
+        )
+
+    def set_state(self, state: EnvState) -> None:
+        """Restore a snapshot (fluid_env.py:1343-1363)."""
+        if state.class_name != self.__class__.__name__:
+            raise ValueError(
+                f"EnvState is for {state.class_name}, not {self.__class__.__name__}"
+            )
+        if self._topo is None:
+            # need sim machinery; build from scratch without randomization
+            self._set_initial_state(randomize=False) if self._load_domain_on_reset \
+                else None
+        if self._topo is None:
+            self._topo, self._geoms, _ = self._get_domain()
+            self._hooks = self._get_prep_fn()
+            self._cfg = self._get_simulation()
+            self._jit_cache.clear()
+            self._additional_initialization()
+        self._state = jax.lax.stop_gradient(state.domain)
+        self._n_steps = state.n_steps
+        self._mode = state.mode
+        self._set_additional_state_info(state.additional_info)
+        self._reset_called = True
+
+    def _get_additional_state_info(self) -> dict[str, Any]:
+        return {}
+
+    def _set_additional_state_info(self, info: dict[str, Any]) -> None:
+        pass
+
+    def detach(self) -> None:
+        """Sever gradient flow between horizons (fluid_env.py:1280-1289);
+        pytree equivalent of Domain.Detach()."""
+        self._state = jax.lax.stop_gradient(self._state)
+
+    def load_initial_domain(self, mode: EnvMode, idx: int) -> None:
+        """Load a specific initial domain snapshot (fluid_env.py:1088-1112)."""
+        self._topo, self._geoms, self._state = self._load_initial_domain(mode, idx)
+        self._hooks = self._get_prep_fn()
+        self._cfg = self._get_simulation()
+        self._jit_cache.clear()
+        self._additional_initialization()
+        self._reset_called = True
+        self._n_steps = 0
+
+    # ------------------------------------------------------------------
+    # statistics
+    # ------------------------------------------------------------------
+    def _load_domain_statistics(self) -> None:
+        try:
+            raw = data_utils.load_statistics(self.initial_domain_id)
+            self._metrics_stats = {k: Stats(**v) for k, v in raw.items()}
+        except FileNotFoundError:
+            self._logger.warning(
+                "Domain statistics not found for %s; metrics will use defaults.",
+                self.initial_domain_id,
+            )
+            self._metrics_stats = {}
+
+    def _save_domain_statistics(self, values: dict[str, np.ndarray]) -> None:
+        stats = {k: Stats.from_values(v)._asdict() for k, v in values.items()}
+        data_utils.save_statistics(self.initial_domain_id, stats)
+        self._metrics_stats = {k: Stats(**v) for k, v in stats.items()}
+
+    # ------------------------------------------------------------------
+    # initial-domain generation (offline; fluid_env.py:1114-1190)
+    # ------------------------------------------------------------------
+    def init(self, n_domains: int = N_INITIAL_DOMAINS, verbose: bool = True) -> None:
+        """Generate and save the initial-domain dataset plus statistics.
+
+        For each mode and domain index: burn in an uncontrolled simulation
+        from a fresh randomized domain, then snapshot it.  Metric statistics
+        are accumulated from the uncontrolled episodes.
+        """
+        was_loading = self._load_domain_on_reset
+        self._load_domain_on_reset = False
+        metric_values: dict[str, list] = defaultdict(list)
+        try:
+            for mode, mode_seed in MODE_SEEDS.items():
+                self.mode = mode
+                for idx in range(n_domains):
+                    self.reset(seed=mode_seed + idx, randomize=False)
+                    steps = self._initial_domain_steps
+                    jitter = int(round(steps * 0.15))
+                    if jitter:
+                        steps = int(steps + self._np_rng.integers(-jitter, jitter + 1))
+                    if verbose:
+                        self._logger.info(
+                            "init: mode=%s idx=%d burn-in %d env steps",
+                            mode.value, idx, steps,
+                        )
+                    rows = []
+                    for _ in range(steps):
+                        _, _, _, _, info = self.step(self._zero_action)
+                        self._n_steps = 0  # uncontrolled burn-in never truncates
+                        rows.append({k: float(np.asarray(v)) for k, v in info.items()
+                                     if np.asarray(v).size == 1})
+                    for row in rows[len(rows) // 2 :]:  # post-transient half
+                        for k, v in row.items():
+                            metric_values[k].append(v)
+                    self._save_initial_domain(mode, idx)
+                    data_utils.save_uncontrolled_episode(
+                        self.initial_domain_id, mode.value, idx, rows
+                    )
+            if metric_values:
+                self._save_domain_statistics(
+                    {k: np.asarray(v) for k, v in metric_values.items()}
+                )
+        finally:
+            self._load_domain_on_reset = was_loading
+            self.mode = EnvMode.TRAIN
+
+    # ------------------------------------------------------------------
+    # rendering
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _format_render_data(data: np.ndarray, v_min=None, v_max=None,
+                            cmap: str = "viridis") -> np.ndarray:
+        """Normalize + colormap to uint8 RGB (fluid_env.py:710-747)."""
+        import matplotlib.cm as mcm
+
+        _v_min = np.min(data) if v_min is None else v_min
+        _v_max = np.max(data) if v_max is None else v_max
+        data = np.flip(data, axis=1)
+        data = np.clip((data - _v_min) / (_v_max - _v_min + 1e-30), 0.0, 1.0)
+        return (mcm.get_cmap(cmap)(data)[..., :3] * 255).astype(np.uint8)
+
+    def render(self, save: bool = False, render_3d: bool = False,
+               filename: str | None = None, output_path: Path | None = None) -> np.ndarray:
+        """Render the current state; returns the default-key frame
+        (fluid_env.py:919-1018)."""
+        output_path = Path(output_path) if output_path else Path(".")
+        render_data = self._get_render_data(
+            render_3d=render_3d, output_path=output_path if save else None
+        )
+        for name, frame in render_data.items():
+            self._frames[name].append(frame)
+            if save:
+                from PIL import Image
+
+                output_path.mkdir(parents=True, exist_ok=True)
+                fname = filename or f"frame_{self._n_steps:04d}"
+                Image.fromarray(frame).save(output_path / f"{fname}_{name}.png")
+        return render_data[self._default_render_key]
+
+    def save_gif(self, filename: str = "episode", output_path: Path | None = None,
+                 fps: int | None = None) -> None:
+        """Write accumulated frames as GIF(s) (fluid_env.py:1020-1045)."""
+        from PIL import Image
+
+        output_path = Path(output_path) if output_path else Path(".")
+        output_path.mkdir(parents=True, exist_ok=True)
+        fps = fps or self.metadata["render_fps"]
+        for name, frames in self._frames.items():
+            if not frames:
+                continue
+            imgs = [Image.fromarray(f) for f in frames]
+            imgs[0].save(
+                output_path / f"{filename}_{name}.gif",
+                save_all=True,
+                append_images=imgs[1:],
+                duration=int(1000 / fps),
+                loop=0,
+            )
+        self._frames = defaultdict(list)

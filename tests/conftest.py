@@ -1,0 +1,34 @@
+"""Test configuration: force a virtual 8-device CPU mesh.
+
+Tests run on CPU (deterministic, no TPU required) with 8 virtual devices so
+sharding/mesh code paths are exercised exactly as the driver's multi-chip
+dry-run does.  Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import tempfile
+
+import jax
+import pytest
+
+# persistent compilation cache: the heavy PISO-step compilations are reused
+# across test sessions
+jax.config.update("jax_compilation_cache_dir", "/tmp/fluidgym_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+@pytest.fixture(autouse=True)
+def _isolated_data_path(tmp_path, monkeypatch):
+    """Point the data path at a temp dir so tests never touch user caches."""
+    from fluidgym_tpu.config import config
+
+    monkeypatch.setattr(config, "_data_path", tmp_path / "data")
+    yield

@@ -1,0 +1,184 @@
+"""Solver golden tests: projection, Taylor-Green decay, diffusion, advection,
+and gradient checks.  These replace the reference's CUDA-oracle comparisons
+(SURVEY.md section 4) with analytic solutions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fluidgym_tpu.core import geometry as geo
+from fluidgym_tpu.core.domain import BCType, DomainBuilder
+from fluidgym_tpu.solver import stencil as st
+from fluidgym_tpu.solver.piso import (
+    ADAPTIVE,
+    SimConfig,
+    make_divergence_free,
+    piso_fixed_steps,
+    piso_substep,
+    single_step,
+)
+
+
+def _periodic_box(n=32, L=2 * np.pi, nu=0.01, scalar=0):
+    dom = DomainBuilder(ndims=2, viscosity=nu, scalar_channels=scalar)
+    coords = geo.make_uniform_grid((n, n), (0.0, 0.0), (L, L))
+    dom.create_block(coords)
+    return dom
+
+
+def _taylor_green(n=32, L=2 * np.pi):
+    x = (np.arange(n) + 0.5) / n * L
+    X, Y = np.meshgrid(x, x, indexing="xy")  # arrays [y, x]
+    u = np.sin(X) * np.cos(Y)
+    v = -np.cos(X) * np.sin(Y)
+    return np.stack([u, v], axis=0)
+
+
+def test_projection_divergence_free():
+    """Projection of a smooth compressible field drives the (central-difference)
+    divergence to near zero under repeated application.  Note: like the
+    reference's FD velocity corrector (kernel.cu PISO_update_velocity), the
+    collocated scheme cannot remove grid-Nyquist divergence modes, so the test
+    field is smooth (low wavenumbers)."""
+    n = 24
+    dom = _periodic_box(n=n)
+    blk = dom._blocks[0]
+    x = (np.arange(n) + 0.5) / n * 2 * np.pi
+    X, Y = np.meshgrid(x, x, indexing="xy")
+    u = np.sin(X) * np.cos(2 * Y) + 0.3 * np.cos(X + Y)
+    v = np.cos(2 * X) * np.sin(Y) + 0.2 * np.sin(X - 2 * Y)
+    blk.set_velocity(np.stack([u, v]))
+    topo, geoms, state = dom.build()
+    cfg = SimConfig(pressure_tol=1e-8)
+    proj = jax.jit(
+        lambda s: make_divergence_free(s, geoms, topo, cfg, iterations=1,
+                                       maxiter=2000)
+    )
+    div0 = float(jnp.max(jnp.abs(
+        st.velocity_divergence(state.blocks[0], geoms[0], topo.blocks[0]))))
+    for _ in range(4):
+        state = proj(state)
+    div4 = float(jnp.max(jnp.abs(
+        st.velocity_divergence(state.blocks[0], geoms[0], topo.blocks[0]))))
+    assert div4 < 1e-3 * div0
+
+
+def test_taylor_green_decay():
+    n, L, nu = 48, 2 * np.pi, 0.02
+    dom = _periodic_box(n=n, L=L, nu=nu)
+    dom._blocks[0].set_velocity(_taylor_green(n, L))
+    topo, geoms, state = dom.build()
+    cfg = SimConfig(pressure_tol=1e-7, advection_tol=1e-7)
+    dt = 0.05
+    steps = 40
+    t_final = dt * steps
+    e0 = float(jnp.mean(state.blocks[0].velocity ** 2))
+    state2 = jax.jit(
+        lambda s: piso_fixed_steps(s, geoms, topo, cfg, jnp.asarray(dt, jnp.float32),
+                                   steps)
+    )(state)
+    e1 = float(jnp.mean(state2.blocks[0].velocity ** 2))
+    expected = e0 * np.exp(-4 * nu * t_final)
+    # implicit Euler is dissipative; expect decay within ~10% of analytic
+    assert e1 < e0
+    assert abs(e1 - expected) / expected < 0.1
+    # velocity field stays divergence-free
+    div = st.velocity_divergence(state2.blocks[0], geoms[0], topo.blocks[0])
+    assert float(jnp.max(jnp.abs(div))) < 1e-3
+
+
+def test_scalar_diffusion_steady_profile():
+    """Dirichlet plates at T=1 (bottom) / 0 (top), no flow, kappa large:
+    temperature relaxes to the linear conduction profile."""
+    n = 16
+    dom = DomainBuilder(ndims=2, viscosity=1.0, scalar_channels=1)
+    coords = geo.make_uniform_grid((n, n), (0.0, 0.0), (1.0, 1.0))
+    blk = dom.create_block(coords)
+    dom.set_scalar_diffusivity(0.5)
+    blk.close_boundary("-y", scalar=1.0)
+    blk.close_boundary("+y", scalar=0.0)
+    blk.set_scalar(np.full((1, n, n), 0.5))
+    topo, geoms, state = dom.build()
+    cfg = SimConfig(advection_tol=1e-8, pressure_tol=1e-7)
+    state = jax.jit(
+        lambda s: piso_fixed_steps(s, geoms, topo, cfg, jnp.asarray(0.1, jnp.float32), 100)
+    )(state)
+    T = np.asarray(state.blocks[0].scalar[0])
+    y_centers = (np.arange(n) + 0.5) / n
+    expected = 1.0 - y_centers
+    assert np.allclose(T.mean(axis=1), expected, atol=2e-2)
+
+
+def test_scalar_advection_translation():
+    """Uniform velocity transports a scalar bump at the right speed."""
+    n, L = 64, 1.0
+    dom = DomainBuilder(ndims=2, viscosity=1e-6, scalar_channels=1)
+    coords = geo.make_uniform_grid((n, n), (0.0, 0.0), (L, L))
+    blk = dom.create_block(coords)
+    dom.set_scalar_diffusivity(1e-6)
+    x = (np.arange(n) + 0.5) / n
+    X, Y = np.meshgrid(x, x, indexing="xy")
+    T0 = np.exp(-((X - 0.3) ** 2 + (Y - 0.5) ** 2) / (2 * 0.05**2))
+    blk.set_scalar(T0[None])
+    blk.set_velocity(np.stack([np.ones((n, n)), np.zeros((n, n))]))
+    topo, geoms, state = dom.build()
+    cfg = SimConfig(advection_tol=1e-8, pressure_tol=1e-7, corrector_steps=0,
+                    advect_passive_scalar=True)
+    # advect for t=0.2 -> bump moves 0.2 in x
+    state = jax.jit(
+        lambda s: piso_fixed_steps(s, geoms, topo, cfg, jnp.asarray(0.005, jnp.float32), 40)
+    )(state)
+    T = np.asarray(state.blocks[0].scalar[0])
+    com_x = (T * X).sum() / T.sum()
+    assert abs(com_x - 0.5) < 0.02
+
+
+def test_adaptive_step_advances_time():
+    n = 16
+    dom = _periodic_box(n=n)
+    dom._blocks[0].set_velocity(_taylor_green(n))
+    topo, geoms, state = dom.build()
+    cfg = SimConfig(dt=0.2, substeps=ADAPTIVE, adaptive_cfl=0.3,
+                    pressure_tol=1e-6)
+    out = jax.jit(
+        lambda s: single_step(s, geoms, topo, cfg)
+    )(state)
+    # energy decayed (sim ran) and no NaNs
+    assert np.isfinite(np.asarray(out.blocks[0].velocity)).all()
+    assert float(jnp.mean(out.blocks[0].velocity ** 2)) < float(
+        jnp.mean(state.blocks[0].velocity ** 2)
+    )
+
+
+def test_gradient_through_step_finite_difference():
+    """d(loss)/d(u0) through a full PISO step matches finite differences --
+    the reference pins gradients the same way
+    (tests/simulation/test_torch_resample.py:141-180)."""
+    n = 12
+    dom = _periodic_box(n=n, nu=0.05)
+    dom._blocks[0].set_velocity(_taylor_green(n) * 0.5)
+    topo, geoms, state = dom.build()
+    cfg = SimConfig(pressure_tol=1e-8, advection_tol=1e-8)
+    dt = jnp.asarray(0.05, jnp.float32)
+
+    def loss(vel0):
+        from dataclasses import replace
+
+        s = state.replace_block(0, replace(state.blocks[0], velocity=vel0))
+        s = piso_substep(s, geoms, topo, cfg, dt)
+        return jnp.sum(s.blocks[0].velocity ** 2)
+
+    v0 = state.blocks[0].velocity
+    loss = jax.jit(loss)
+    g = jax.jit(jax.grad(loss))(v0)
+    assert np.isfinite(np.asarray(g)).all()
+
+    rng = np.random.default_rng(0)
+    direction = jnp.asarray(rng.normal(size=v0.shape), v0.dtype)
+    eps = 1e-2
+    f_plus = float(loss(v0 + eps * direction))
+    f_minus = float(loss(v0 - eps * direction))
+    fd = (f_plus - f_minus) / (2 * eps)
+    analytic = float(jnp.vdot(g, direction))
+    assert abs(fd - analytic) / (abs(fd) + 1e-6) < 5e-2
