@@ -103,18 +103,22 @@ class BCType(enum.IntEnum):
 
 @dataclass(frozen=True)
 class FaceSpec:
-    """Static description of one block face."""
+    """Static description of one block face.
+
+    For CONNECTED faces, ``axes`` replicates the reference ConnectedBoundary
+    axis table (domain_structs.cpp ConnectBlocks:1080-1114, kernel.cu
+    computeConnectedPos:342): entry ``i`` corresponds to this block's axis
+    ``(face_axis + i) % ndims`` and holds the neighbor's FACE INDEX for that
+    axis (``neighbor_axis * 2 + inverted_bit``); ``axes[0]`` is the neighbor's
+    connected face itself.
+    """
 
     kind: BoundKind = BoundKind.PERIODIC
     vel_type: BCType = BCType.DIRICHLET
     scalar_types: tuple[BCType, ...] = ()
-    # CONNECTED: index of the neighbor block and of the face on the neighbor
-    # that this face attaches to.  ``axes`` maps this block's face-tangential
-    # axes onto the neighbor's (reference Block::ConnectBlock semantics,
-    # PISOtorch.cpp:314-329); identity for now.
     connected_block: int = -1
     connected_face: int = -1
-    flip: tuple[bool, ...] = ()
+    axes: tuple[int, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -387,18 +391,65 @@ class DomainBuilder:
         ).copy()
 
     def connect_blocks(
-        self, block_a: int, face_a: int | str, block_b: int, face_b: int | str
+        self,
+        block_a: int,
+        face_a: int | str,
+        block_b: int,
+        face_b: int | str,
+        connected_axis_a: int | str | None = None,
+        connected_axis_b: int | str | None = None,
     ) -> None:
-        """Connect two block faces (axis-aligned identity mapping for now)."""
+        """Connect two block faces with the reference's axis-mapping semantics
+        (domain_structs.cpp ConnectBlocks:1080-1114).
+
+        ``connected_axis_a``: face index (or name like "-y") on block_b that
+        block_a's first tangential axis ``(face_axis+1) % ndims`` maps onto;
+        ``connected_axis_b`` likewise for the second tangential axis in 3D.
+        Defaults to the aligned (non-inverted, cyclic) mapping.
+        """
         a = self._blocks[block_a]
         b = self._blocks[block_b]
         fa = a._face_index(face_a)
         fb = b._face_index(face_b)
+        d = self.ndims
+        fa_dim, fb_dim = fa // 2, fb // 2
+
+        def _axidx(v, blk):
+            return blk._face_index(v) if v is not None else None
+
+        ca = _axidx(connected_axis_a, b)
+        cb = _axidx(connected_axis_b, b)
+        if d > 1 and ca is None:
+            ca = (((fb_dim + 1) % d) << 1)
+        if d > 2 and cb is None:
+            cb = (((fb_dim + 2) % d) << 1)
+
+        axes_a: list[int] = [fb]
+        axes_b: list[int] = [fa]
+        if d > 1:
+            axes_a.append(ca)
+            if d == 2 or (ca >> 1) == (fb_dim + 1) % d:
+                axes_b.append((((fa_dim + 1) % d) << 1) | (ca & 1))
+                swapped = False
+            else:
+                if (cb >> 1) != (fb_dim + 1) % d:
+                    raise ValueError("invalid connection axis mapping")
+                axes_b.append((((fa_dim + 2) % d) << 1) | (cb & 1))
+                swapped = True
+            if d > 2:
+                axes_a.append(cb)
+                if not swapped:
+                    axes_b.append((((fa_dim + 2) % d) << 1) | (cb & 1))
+                else:
+                    axes_b.append((((fa_dim + 1) % d) << 1) | (ca & 1))
+
         a.faces[fa] = FaceSpec(
-            kind=BoundKind.CONNECTED, connected_block=block_b, connected_face=fb
+            kind=BoundKind.CONNECTED, connected_block=block_b, connected_face=fb,
+            axes=tuple(axes_a),
         )
         b.faces[fb] = FaceSpec(
-            kind=BoundKind.CONNECTED, connected_block=block_a, connected_face=fa
+            kind=BoundKind.CONNECTED, connected_block=block_a, connected_face=fa,
+            axes=tuple(axes_b),
         )
 
     # -- finalize ----------------------------------------------------------

@@ -39,6 +39,7 @@ def _spec_to_json(spec: FaceSpec) -> dict:
         "scalar_types": [t.name for t in spec.scalar_types],
         "connected_block": spec.connected_block,
         "connected_face": spec.connected_face,
+        "axes": list(spec.axes),
     }
 
 
@@ -49,6 +50,7 @@ def _spec_from_json(d: dict) -> FaceSpec:
         scalar_types=tuple(BCType[t] for t in d["scalar_types"]),
         connected_block=d.get("connected_block", -1),
         connected_face=d.get("connected_face", -1),
+        axes=tuple(d.get("axes", ())),
     )
 
 

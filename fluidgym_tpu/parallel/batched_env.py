@@ -160,6 +160,8 @@ class BatchedFluidEnv:
             if self._jit_step is None:
                 self._jit_step = jax.jit(jax.vmap(self.env._pure_step))
             self._bstate, obs, rewards, info = self._jit_step(self._bstate, actions)
+            if rewards.ndim == 2 and rewards.shape[1] == 1:
+                rewards = rewards[:, 0]
 
         self._n_steps += 1
         truncated = self._n_steps >= self.env.episode_length

@@ -25,15 +25,55 @@ coefficients via automatic differentiation of the matvec.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 Array = jax.Array
+Vec = Any  # an array or any pytree of arrays (e.g. tuple of per-block fields)
 
 __all__ = ["SolveInfo", "default_tolerance", "cg", "bicgstab"]
+
+
+def _vdot(a: Vec, b: Vec) -> Array:
+    """Real inner product over a pytree."""
+    leaves_a = jax.tree.leaves(a)
+    leaves_b = jax.tree.leaves(b)
+    return sum(jnp.vdot(x, y).real for x, y in zip(leaves_a, leaves_b))
+
+
+def _size(a: Vec) -> int:
+    return sum(x.size for x in jax.tree.leaves(a))
+
+
+def _dtype(a: Vec):
+    return jax.tree.leaves(a)[0].dtype
+
+
+def _axpy(alpha, x: Vec, y: Vec) -> Vec:
+    return jax.tree.map(lambda xx, yy: alpha * xx + yy, x, y)
+
+
+def _scale_add(y: Vec, beta, x: Vec) -> Vec:
+    return jax.tree.map(lambda yy, xx: yy + beta * xx, y, x)
+
+
+def _zeros_like(a: Vec) -> Vec:
+    return jax.tree.map(jnp.zeros_like, a)
+
+
+def _where(pred, a: Vec, b: Vec) -> Vec:
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _all_zero(a: Vec) -> Array:
+    leaves = jax.tree.leaves(a)
+    out = jnp.all(leaves[0] == 0)
+    for x in leaves[1:]:
+        out = jnp.logical_and(out, jnp.all(x == 0))
+    return out
 
 
 class SolveInfo(NamedTuple):
@@ -54,27 +94,29 @@ def _rmse(r: Array) -> Array:
 
 
 def cg(
-    matvec: Callable[[Array], Array],
-    b: Array,
-    x0: Array | None = None,
+    matvec: Callable[[Vec], Vec],
+    b: Vec,
+    x0: Vec | None = None,
     *,
     tol: float | None = None,
     maxiter: int = 5000,
     return_best: bool = True,
-) -> tuple[Array, SolveInfo]:
+) -> tuple[Vec, SolveInfo]:
     """Conjugate gradients on an SPD matrix-free operator.
 
+    ``b`` may be an array or a pytree of arrays (multi-block fields).
     Convergence: RMSE of the residual <= tol (NORM2_NORMALIZED).
     """
+    dt = _dtype(b)
     if tol is None:
-        tol = default_tolerance(b.dtype)
-    n = b.size
-    tol2_sum = jnp.asarray((tol * tol) * n, b.dtype)  # ||r||^2 threshold
+        tol = default_tolerance(dt)
+    n = _size(b)
+    tol2_sum = jnp.asarray((tol * tol) * n, dt)  # ||r||^2 threshold
 
-    x = jnp.zeros_like(b) if x0 is None else x0
-    r = b - matvec(x) if x0 is not None else b
+    x = _zeros_like(b) if x0 is None else x0
+    r = jax.tree.map(lambda bb, ax: bb - ax, b, matvec(x)) if x0 is not None else b
     p = r
-    rs = jnp.vdot(r, r).real.astype(b.dtype)
+    rs = _vdot(r, r).astype(dt)
 
     def cond(carry):
         x, r, p, rs, it, best_x, best_rs = carry
@@ -83,15 +125,15 @@ def cg(
     def body(carry):
         x, r, p, rs, it, best_x, best_rs = carry
         Ap = matvec(p)
-        denom = jnp.vdot(p, Ap).real.astype(b.dtype)
+        denom = _vdot(p, Ap).astype(dt)
         alpha = rs / jnp.where(denom == 0, 1.0, denom)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        rs_new = jnp.vdot(r, r).real.astype(b.dtype)
+        x = _axpy(alpha, p, x)
+        r = _axpy(-alpha, Ap, r)
+        rs_new = _vdot(r, r).astype(dt)
         beta = rs_new / jnp.where(rs == 0, 1.0, rs)
-        p = r + beta * p
+        p = _scale_add(r, beta, p)
         better = rs_new < best_rs
-        best_x = jnp.where(better, x, best_x)
+        best_x = _where(better, x, best_x)
         best_rs = jnp.where(better, rs_new, best_rs)
         return x, r, p, rs_new, it + 1, best_x, best_rs
 
@@ -100,43 +142,45 @@ def cg(
 
     converged = rs <= tol2_sum
     if return_best:
-        x = jnp.where(converged, x, best_x)
+        x = _where(converged, x, best_x)
         rs_out = jnp.where(converged, rs, best_rs)
     else:
         rs_out = rs
     # all-zero RHS -> zero solution
-    b_zero = jnp.all(b == 0)
-    x = jnp.where(b_zero, jnp.zeros_like(x), x)
+    b_zero = _all_zero(b)
+    x = _where(b_zero, _zeros_like(x), x)
     converged = jnp.logical_or(converged, b_zero)
     info = SolveInfo(converged=converged, iterations=it, residual=jnp.sqrt(rs_out / n))
     return x, info
 
 
 def bicgstab(
-    matvec: Callable[[Array], Array],
-    b: Array,
-    x0: Array | None = None,
+    matvec: Callable[[Vec], Vec],
+    b: Vec,
+    x0: Vec | None = None,
     *,
     tol: float | None = None,
     maxiter: int = 5000,
     return_best: bool = True,
-) -> tuple[Array, SolveInfo]:
+) -> tuple[Vec, SolveInfo]:
     """BiCGStab for non-symmetric matrix-free operators (advection systems).
 
-    Mirrors the unpreconditioned path of bicgstab_solver_kernel.cu (the
-    reference default: Simulation.preconditionBiCG=False).
+    ``b`` may be an array or a pytree of arrays.  Mirrors the unpreconditioned
+    path of bicgstab_solver_kernel.cu (the reference default:
+    Simulation.preconditionBiCG=False).
     """
+    dt = _dtype(b)
     if tol is None:
-        tol = default_tolerance(b.dtype)
-    n = b.size
-    tol2_sum = jnp.asarray((tol * tol) * n, b.dtype)
+        tol = default_tolerance(dt)
+    n = _size(b)
+    tol2_sum = jnp.asarray((tol * tol) * n, dt)
 
-    x = jnp.zeros_like(b) if x0 is None else x0
-    r = b - matvec(x) if x0 is not None else b
+    x = _zeros_like(b) if x0 is None else x0
+    r = jax.tree.map(lambda bb, ax: bb - ax, b, matvec(x)) if x0 is not None else b
     r_hat = r
-    rho = jnp.vdot(r_hat, r).real.astype(b.dtype)
+    rho = _vdot(r_hat, r).astype(dt)
     p = r
-    rs = jnp.vdot(r, r).real.astype(b.dtype)
+    rs = _vdot(r, r).astype(dt)
 
     def cond(carry):
         x, r, p, rho, rs, it, best_x, best_rs = carry
@@ -145,22 +189,22 @@ def bicgstab(
     def body(carry):
         x, r, p, rho, rs, it, best_x, best_rs = carry
         v = matvec(p)
-        denom = jnp.vdot(r_hat, v).real.astype(b.dtype)
+        denom = _vdot(r_hat, v).astype(dt)
         alpha = rho / jnp.where(denom == 0, 1.0, denom)
-        s = r - alpha * v
+        s = _axpy(-alpha, v, r)
         t = matvec(s)
-        tt = jnp.vdot(t, t).real.astype(b.dtype)
-        omega = jnp.vdot(t, s).real.astype(b.dtype) / jnp.where(tt == 0, 1.0, tt)
-        x = x + alpha * p + omega * s
-        r = s - omega * t
-        rho_new = jnp.vdot(r_hat, r).real.astype(b.dtype)
+        tt = _vdot(t, t).astype(dt)
+        omega = _vdot(t, s).astype(dt) / jnp.where(tt == 0, 1.0, tt)
+        x = jax.tree.map(lambda xx, pp, ss: xx + alpha * pp + omega * ss, x, p, s)
+        r = _axpy(-omega, t, s)
+        rho_new = _vdot(r_hat, r).astype(dt)
         beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * (
             alpha / jnp.where(omega == 0, 1.0, omega)
         )
-        p = r + beta * (p - omega * v)
-        rs_new = jnp.vdot(r, r).real.astype(b.dtype)
+        p = jax.tree.map(lambda rr, pp, vv: rr + beta * (pp - omega * vv), r, p, v)
+        rs_new = _vdot(r, r).astype(dt)
         better = rs_new < best_rs
-        best_x = jnp.where(better, x, best_x)
+        best_x = _where(better, x, best_x)
         best_rs = jnp.where(better, rs_new, best_rs)
         return x, r, p, rho_new, rs_new, it + 1, best_x, best_rs
 
@@ -169,12 +213,12 @@ def bicgstab(
 
     converged = rs <= tol2_sum
     if return_best:
-        x = jnp.where(converged, x, best_x)
+        x = _where(converged, x, best_x)
         rs_out = jnp.where(converged, rs, best_rs)
     else:
         rs_out = rs
-    b_zero = jnp.all(b == 0)
-    x = jnp.where(b_zero, jnp.zeros_like(x), x)
+    b_zero = _all_zero(b)
+    x = _where(b_zero, _zeros_like(x), x)
     converged = jnp.logical_or(converged, b_zero)
     info = SolveInfo(converged=converged, iterations=it, residual=jnp.sqrt(rs_out / n))
     return x, info

@@ -1,4 +1,4 @@
-"""PISO time integration as pure jittable functions.
+"""PISO time integration as pure jittable functions (multi-block capable).
 
 TPU-native re-expression of the reference simulation driver
 (``/root/reference/src/fluidgym/simulation/pict/PISOtorch_simulation.py``):
@@ -16,6 +16,10 @@ TPU-native re-expression of the reference simulation driver
 * ``make_divergence_free`` (PISOtorch_simulation.py:1320-1429): pressure
   projection of an initial velocity field with A=1, dt=1.
 
+Linear systems are GLOBAL over all blocks (tuples of per-block arrays as the
+Krylov vectors; inter-block coupling via halo exchange in the operator apply)
+-- exactly the role of the reference's concatenated CSR system.
+
 Differentiability is the default (no dual backend): linear solves are wrapped
 in ``lax.custom_linear_solve``, which provides the implicit-function VJP
 (transposed solve + coefficient gradients) that the reference hand-writes in
@@ -30,7 +34,7 @@ POST), closed over statically at trace time.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -38,12 +42,11 @@ from jax import lax
 
 from fluidgym_tpu.core.domain import (
     BlockGeom,
-    BlockTopo,
-    BoundKind,
     DomainState,
     DomainTopo,
 )
 from fluidgym_tpu.solver import linsolve
+from fluidgym_tpu.solver import nonortho
 from fluidgym_tpu.solver import stencil as st
 
 Array = jax.Array
@@ -97,9 +100,9 @@ def _run_hooks(hooks: Hooks | None, name: str, state: DomainState, **kw) -> Doma
     return state
 
 
-def _solve(op: st.StencilOp, b: Array, ndims: int, *, tol, maxiter, symmetric,
-           use_bicg, return_best) -> Array:
-    """Differentiable linear solve on a stencil operator.
+def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
+           return_best):
+    """Differentiable global linear solve over all blocks.
 
     ``lax.custom_linear_solve`` supplies the implicit-function gradient: the
     backward pass is a transposed solve plus automatic differentiation of the
@@ -109,12 +112,12 @@ def _solve(op: st.StencilOp, b: Array, ndims: int, *, tol, maxiter, symmetric,
 
     Deviation from the reference noted: multi-component RHS (velocity, scalar
     channels) are solved as one joint system with a joint RMSE criterion
-    instead of per-RHS convergence; the joint criterion is at least as strict
-    in aggregate and keeps a single Krylov loop on-device.
+    instead of per-RHS convergence; the joint criterion is equivalent in
+    aggregate and keeps a single Krylov loop on-device.
     """
 
-    def mv(x):
-        return st.stencil_apply(op, x, ndims)
+    def mv(xs):
+        return st.domain_apply(ops, xs, topo)
 
     if symmetric and not use_bicg:
         def solve_fn(mv_fn, bb):
@@ -134,15 +137,12 @@ def _solve(op: st.StencilOp, b: Array, ndims: int, *, tol, maxiter, symmetric,
     return lax.custom_linear_solve(mv, b, solve_fn, tsolve_fn)
 
 
-def _single_block(topo: DomainTopo) -> tuple[BlockTopo]:
-    if len(topo.blocks) != 1:
-        raise NotImplementedError(
-            "multi-block domains are not wired into the PISO driver yet"
-        )
-    for spec in topo.blocks[0].faces:
-        if spec.kind == BoundKind.CONNECTED:
-            raise NotImplementedError("CONNECTED boundaries not supported yet")
-    return topo.blocks
+def _global_mean(xs) -> Array:
+    """Mean over the concatenation of all block arrays (the reference's
+    torch.mean over the global pressure vector)."""
+    total = sum(jnp.sum(x) for x in xs)
+    count = sum(x.size for x in xs)
+    return total / count
 
 
 def piso_substep(
@@ -154,76 +154,126 @@ def piso_substep(
     hooks: Hooks | None = None,
 ) -> DomainState:
     """One PISO substep advancing physical time ``dt``
-    (reference ``_PISO_split_step`` body, PISOtorch_simulation.py:1453-2000,
-    orthogonal branch)."""
-    (btopo,) = _single_block(topo)
-    geom = geoms[0]
-    ndims = topo.ndims
-
+    (reference ``_PISO_split_step`` body, PISOtorch_simulation.py:1453-2000)."""
+    nblocks = len(topo.blocks)
     state = _run_hooks(hooks, "PRE", state, time_step=dt)
-    blk = state.blocks[0]
 
     # ---- scalar advection (PISOtorch_simulation.py:1471-1644) -------------
-    if cfg.advect_passive_scalar and topo.has_scalar and blk.scalar is not None:
-        new_channels = []
+    if cfg.advect_passive_scalar and topo.has_scalar and state.blocks[0].scalar is not None:
+        new_scalars = [[] for _ in range(nblocks)]
         for c in range(topo.scalar_channels):
             kappa = state.scalar_diffusivity[c]
-            op = st.build_advection_op(
-                blk, geom, btopo, kappa, dt, for_scalar=True, scalar_channel=c
+            ops = st.build_advection_ops(
+                state, geoms, topo, kappa, dt, for_scalar=True, scalar_channel=c
             )
-            rhs = st.advection_rhs_scalar(blk, geom, btopo, kappa, dt, c)
+            rhs = st.advection_rhs_scalar(state, geoms, topo, kappa, dt, c)
+            if cfg.non_orthogonal:
+                ones = tuple(jnp.ones_like(g.det) for g in geoms)
+                ops = nonortho.apply_matrix_terms(
+                    ops, geoms, topo, tuple(o * kappa for o in ones),
+                    det_divide=True, field="scalar", scalar_channel=c,
+                )
+                S = nonortho.deferred_rhs(
+                    tuple(blk.scalar[c] for blk in state.blocks), geoms, topo,
+                    ones, field="scalar",
+                    bval_fn=lambda b, f, _c=c: state.blocks[b].faces[f].scalar[_c],
+                    scalar_channel=c,
+                )
+                rhs = tuple(
+                    r - s * kappa / g.det for r, s, g in zip(rhs, S, geoms)
+                )
             res = _solve(
-                op, rhs, ndims,
+                ops, rhs, topo,
                 tol=cfg.advection_tol, maxiter=cfg.advection_maxiter,
                 symmetric=False, use_bicg=cfg.advection_use_bicg,
                 return_best=False,
             )
-            new_channels.append(res)
-        blk = replace(blk, scalar=jnp.stack(new_channels, axis=0))
-        state = state.replace_block(0, blk)
+            for b in range(nblocks):
+                new_scalars[b].append(res[b])
+        for b in range(nblocks):
+            state = state.replace_block(
+                b, replace(state.blocks[b], scalar=jnp.stack(new_scalars[b], axis=0))
+            )
 
     # ---- velocity prediction (PISOtorch_simulation.py:1646-1762) ----------
     state = _run_hooks(hooks, "PRE_VELOCITY_SETUP", state, time_step=dt)
-    blk = state.blocks[0]
     nu = state.viscosity
-    adv_op = st.build_advection_op(blk, geom, btopo, nu, dt)
-    vel_rhs = st.advection_rhs_velocity(blk, geom, btopo, nu, dt)
+    adv_ops = st.build_advection_ops(state, geoms, topo, nu, dt)
+    vel_rhs = st.advection_rhs_velocity(state, geoms, topo, nu, dt)
+    if cfg.non_orthogonal:
+        nus = tuple(jnp.full_like(g.det, 1.0) * nu for g in geoms)
+        adv_ops = nonortho.apply_matrix_terms(
+            adv_ops, geoms, topo, nus, det_divide=True, field="velocity"
+        )
+        # deferred correction per velocity component, from the pre-step field
+        S_comps = []
+        for d in range(topo.ndims):
+            S_comps.append(nonortho.deferred_rhs(
+                tuple(blk.velocity[d] for blk in state.blocks), geoms, topo,
+                nus, field="velocity",
+                bval_fn=lambda b, f, _d=d: state.blocks[b].faces[f].velocity[_d],
+                boundary_visc=nu,
+            ))
+        vel_rhs = tuple(
+            vel_rhs[b]
+            - jnp.stack([S_comps[d][b] for d in range(topo.ndims)], axis=0)
+            / geoms[b].det
+            for b in range(nblocks)
+        )
     state = _run_hooks(hooks, "POST_VELOCITY_SETUP", state, time_step=dt)
     u_star = _solve(
-        adv_op, vel_rhs, ndims,
+        adv_ops, vel_rhs, topo,
         tol=cfg.advection_tol, maxiter=cfg.advection_maxiter,
         symmetric=False, use_bicg=cfg.advection_use_bicg, return_best=False,
     )
 
     # ---- corrector loop (PISOtorch_simulation.py:1777-1972) ---------------
-    p_op = st.build_pressure_op(adv_op.diag, geom, btopo)
-    pressure = blk.pressure
+    adiags = tuple(op.diag for op in adv_ops)
+    p_ops = st.build_pressure_ops(adiags, geoms, topo)
+    if cfg.non_orthogonal:
+        inv_a = tuple(1.0 / a for a in adiags)
+        p_ops = nonortho.apply_matrix_terms(
+            p_ops, geoms, topo, inv_a, det_divide=False, field="pressure"
+        )
+    pressures = tuple(blk.pressure for blk in state.blocks)
     for _ in range(cfg.corrector_steps):
-        hbyA = st.pressure_rhs_vec(blk, geom, btopo, adv_op, u_star, nu, dt)
-        div = st.divergence_of(hbyA, blk, geom, btopo)
+        hbyA = st.pressure_rhs_vec(state, geoms, topo, adv_ops, u_star, nu, dt)
+        div = st.divergence_of(hbyA, state, geoms, topo)
+        if cfg.non_orthogonal:
+            # deferred pressure correction from the previous pressure iterate
+            # (k_pressureRHSaddNonOrthoComponents, kernel.cu:5471-5492)
+            Sp = nonortho.deferred_rhs(
+                pressures, geoms, topo, inv_a, field="pressure"
+            )
+            div = tuple(d + s for d, s in zip(div, Sp))
         if cfg.pressure_time_step_normalized:
-            div = div / dt
-        # p_op is the sign-flipped (positive definite) Poisson operator, so
+            div = tuple(d / dt for d in div)
+        # p_ops is the sign-flipped (positive definite) Poisson operator, so
         # negate the RHS: P p = div  <=>  (-P) p = -div.
-        pressure = _solve(
-            p_op, -div, ndims,
+        pressures = _solve(
+            p_ops, tuple(-d for d in div), topo,
             tol=cfg.pressure_tol, maxiter=cfg.pressure_maxiter,
             symmetric=True, use_bicg=False,
             return_best=cfg.pressure_return_best_result,
         )
         if cfg.normalize_pressure_result:
-            pressure = pressure - jnp.mean(pressure)
-        state = state.replace_block(0, replace(blk, pressure=pressure))
+            mean = _global_mean(pressures)
+            pressures = tuple(p - mean for p in pressures)
+        for b in range(nblocks):
+            state = state.replace_block(
+                b, replace(state.blocks[b], pressure=pressures[b])
+            )
         state = _run_hooks(hooks, "POST_PRESSURE_RESULT", state, time_step=dt)
-        blk = state.blocks[0]
-        pressure = blk.pressure
+        pressures = tuple(blk.pressure for blk in state.blocks)
         u_star = st.correct_velocity_fd(
-            hbyA, pressure, adv_op.diag, geom, btopo, dt,
+            hbyA, pressures, adiags, geoms, topo, dt,
             time_step_normalized=cfg.pressure_time_step_normalized,
         )
 
-    blk = replace(blk, velocity=u_star, pressure=pressure)
-    state = state.replace_block(0, blk)
+    for b in range(nblocks):
+        state = state.replace_block(
+            b, replace(state.blocks[b], velocity=u_star[b], pressure=pressures[b])
+        )
     state = _run_hooks(hooks, "POST", state, time_step=dt)
     return state
 
@@ -242,8 +292,6 @@ def piso_adaptive_step(
     Forward-only (``lax.while_loop``); differentiable rollouts should use
     ``piso_fixed_steps``.
     """
-    (btopo,) = _single_block(topo)
-    geom = geoms[0]
     time_target = jnp.asarray(time_target, state.blocks[0].velocity.dtype)
     eps = 1e-6 * time_target
 
@@ -253,7 +301,7 @@ def piso_adaptive_step(
 
     def body(carry):
         s, remaining = carry
-        max_vel = st.max_computational_velocity(s.blocks[0], geom, btopo)
+        max_vel = st.max_computational_velocity(s, geoms, topo)
         max_ts = jnp.where(
             max_vel > 1e-30, cfg.adaptive_cfl / jnp.maximum(max_vel, 1e-30),
             remaining,
@@ -320,31 +368,30 @@ def make_divergence_free(
     """Pressure-project the current velocity to divergence free
     (reference make_divergence_free, PISOtorch_simulation.py:1320-1429:
     A=1, dt=1, hbyA = velocity)."""
-    (btopo,) = _single_block(topo)
-    geom = geoms[0]
-    ndims = topo.ndims
+    nblocks = len(topo.blocks)
     one = jnp.asarray(1.0, state.blocks[0].velocity.dtype)
-    adiag = jnp.ones_like(geom.det)
-    p_op = st.build_pressure_op(adiag, geom, btopo)
+    adiags = tuple(jnp.ones_like(g.det) for g in geoms)
+    p_ops = st.build_pressure_ops(adiags, geoms, topo)
 
     for _ in range(iterations):
         state = _run_hooks(hooks, "PRE", state, time_step=one)
-        blk = state.blocks[0]
-        hbyA = blk.velocity
-        div = st.divergence_of(hbyA, blk, geom, btopo)
-        if cfg.pressure_time_step_normalized:
-            pass  # dt == 1
-        pressure = _solve(
-            p_op, -div, ndims,
+        hbyA = tuple(blk.velocity for blk in state.blocks)
+        div = st.divergence_of(hbyA, state, geoms, topo)
+        pressures = _solve(
+            p_ops, tuple(-d for d in div), topo,
             tol=cfg.pressure_tol, maxiter=maxiter,
             symmetric=True, use_bicg=False,
             return_best=cfg.pressure_return_best_result,
         )
         if cfg.normalize_pressure_result:
-            pressure = pressure - jnp.mean(pressure)
+            mean = _global_mean(pressures)
+            pressures = tuple(p - mean for p in pressures)
         vel = st.correct_velocity_fd(
-            hbyA, pressure, adiag, geom, btopo, one,
+            hbyA, pressures, adiags, geoms, topo, one,
             time_step_normalized=cfg.pressure_time_step_normalized,
         )
-        state = state.replace_block(0, replace(blk, velocity=vel, pressure=pressure))
+        for b in range(nblocks):
+            state = state.replace_block(
+                b, replace(state.blocks[b], velocity=vel[b], pressure=pressures[b])
+            )
     return state

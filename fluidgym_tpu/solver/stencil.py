@@ -1,18 +1,22 @@
-"""Matrix-free finite-volume stencil operators (single block).
+"""Matrix-free finite-volume stencil operators (multi-block, curvilinear).
 
 TPU-native re-expression of the reference's CSR matrix assembly kernels
 (``/root/reference/src/fluidgym/simulation/extensions/PISO_multiblock_cuda_kernel.cu``)
-as fused array ops.  Instead of assembling a sparse CSR matrix, we build the
-stencil **coefficient arrays** (diagonal + one coefficient per face) once per
-substep and apply the operator matrix-free with shifted multiplies -- the form
-XLA fuses into a handful of HBM-bandwidth-bound passes and that maps directly
-onto a Pallas kernel.
+as fused array ops.  Instead of assembling a global sparse CSR matrix over all
+blocks, we build per-block stencil **coefficient arrays** (diagonal + one
+coefficient per face) once per substep and apply the operator matrix-free with
+shifted multiplies; inter-block coupling (the reference's ConnectedBoundary
+CSR entries, domain_structs.h:332) becomes **halo exchange**: at CONNECTED
+faces the rolled neighbor values are overwritten with a statically-mapped slab
+gathered from the neighbor block.
 
 Numerics replicated exactly from the reference:
 
 * advective face fluxes: central average of cell contravariant components
   ``flux_f = 0.5 * (C_P + C_N)``, ``C_d = det * (M^-1 u)_d``
-  (``computeFluxesNDLoop``, kernel.cu:1568-1643);
+  (``computeFluxesNDLoop``, kernel.cu:1568-1643); at CONNECTED faces the
+  neighbor contravariant component is taken along the neighbor's face-normal
+  axis and sign-flipped for same-side connections (kernel.cu:1596-1612);
 * implicit-Euler advection-diffusion matrix: ``diag = 1/dt + sum_f(0.5 *
   sign_f * flux_f + visc_f)/det (+ wall terms)``, ``off_f = (0.5 * sign_f *
   flux_f - visc_f)/det`` with ``visc_f = 0.5*(alpha_P nu_P + alpha_N nu_N)``
@@ -30,12 +34,20 @@ Numerics replicated exactly from the reference:
   (``k_computePressureRHSdivergenceFromFlux``, kernel.cu:5390);
 * FD velocity correction ``u = hbyA - (1/A) * M^-T grad_xi p`` with central /
   one-sided pressure differences (``getPressureGradient`` kernel.cu:816-850,
-  ``PISO_update_velocity`` kernel.cu:5958+).
+  ``PISO_update_velocity`` kernel.cu:5958+);
+* connection axis mapping identical to ``computeConnectedPos`` /
+  ``computeConnectedPosWithChannel`` (kernel.cu:342-375): ``FaceSpec.axes``
+  holds, per this-block axis relative to the face axis, the neighbor's face
+  index (axis*2 + inverted-bit).
 
 Boundary metric coefficients use the adjacent cell's ``alpha``/``det``; for
 orthogonal grids this equals the reference's boundary face-transform values
-(see ``k_CoordsToFaceTransforms``, grid_gen.cu:398: one-sided differences at
-walls reproduce the adjacent cell metric).
+(``k_CoordsToFaceTransforms``, grid_gen.cu:398: one-sided differences at walls
+reproduce the adjacent cell metric).
+
+Conventions: per-block fields are channel-first ``(C, *spatial)``; multi-block
+vectors are tuples of per-block arrays; physical axis d lives on array axis
+``-(d+1)``.
 """
 
 from __future__ import annotations
@@ -52,21 +64,27 @@ from fluidgym_tpu.core.domain import (
     BlockState,
     BlockTopo,
     BoundKind,
+    DomainState,
+    DomainTopo,
+    FaceSpec,
     face_axis,
     face_sign,
 )
 
 Array = jax.Array
+BlockVec = tuple  # tuple of per-block arrays
 
 __all__ = [
     "StencilOp",
     "stencil_apply",
     "stencil_off_apply",
+    "domain_apply",
+    "domain_off_apply",
     "contravariant",
-    "build_advection_op",
+    "build_advection_ops",
     "advection_rhs_velocity",
     "advection_rhs_scalar",
-    "build_pressure_op",
+    "build_pressure_ops",
     "pressure_rhs_vec",
     "divergence_of",
     "pressure_gradient",
@@ -83,17 +101,16 @@ __all__ = [
 )
 @dataclass
 class StencilOp:
-    """Matrix-free stencil operator: ``(A x)_i = diag_i x_i + sum_f off_f[i] *
-    x_{neighbor_f(i)}``.  ``off`` has shape ``(2*ndims, *spatial)`` with face
-    order -x,+x,-y,+y[,-z,+z]; coefficients are zero at prescribed faces so
-    periodic rolls never leak across walls."""
+    """Per-block matrix-free stencil: ``(A x)_i = diag_i x_i + sum_f off_f[i]
+    * x_{neighbor_f(i)}``.  ``off`` has shape ``(2*ndims, *spatial)`` with face
+    order -x,+x,-y,+y[,-z,+z]; coefficients are zero at prescribed faces."""
 
     diag: Array
     off: Array
 
 
 # ---------------------------------------------------------------------------
-# shift / slicing helpers
+# shift / slicing / halo helpers
 # ---------------------------------------------------------------------------
 
 def _axis(rank: int, d: int) -> int:
@@ -101,8 +118,9 @@ def _axis(rank: int, d: int) -> int:
     return rank - 1 - d
 
 
-def _nbr(x: Array, f: int) -> Array:
-    """Values of the face-f neighbor at each cell (periodic wrap)."""
+def _roll_nbr(x: Array, f: int) -> Array:
+    """Face-f neighbor values by periodic roll (correct for interior and
+    PERIODIC faces; other faces are fixed up by masking or halo overwrite)."""
     d = face_axis(f)
     shift = 1 if f % 2 == 0 else -1  # lower face -> i-1 neighbor
     return jnp.roll(x, shift, axis=_axis(x.ndim, d))
@@ -120,24 +138,103 @@ def _slab(x: Array, f: int) -> Array:
     return x[_face_slab(x.ndim, f)]
 
 
+def _slab_trailing(x: Array, f: int, n_trailing: int) -> Array:
+    """Face slab of an array whose LAST ``n_trailing`` axes are non-spatial
+    (e.g. ``minv (*s, d, d)``)."""
+    rank = x.ndim - n_trailing
+    idx = [slice(None)] * x.ndim
+    ax = rank - 1 - face_axis(f)
+    idx[ax] = slice(-1, None) if f % 2 else slice(0, 1)
+    return x[tuple(idx)]
+
+
+def _halo(other: Array, spec: FaceSpec, f: int, ndims: int) -> Array:
+    """Gather the neighbor block's boundary slab for this block's face ``f``,
+    remapped into this block's axis frame (computeConnectedPos semantics).
+
+    ``other`` may have leading channel axes; spatial axes are the trailing
+    ``ndims``.  Returns an array shaped like this block's face slab.
+    """
+    if not spec.axes:
+        raise ValueError("CONNECTED face is missing its axes mapping")
+    rank = other.ndim
+    a0, up0 = spec.axes[0] >> 1, spec.axes[0] & 1
+    idx = [slice(None)] * rank
+    idx[_axis(rank, a0)] = slice(-1, None) if up0 else slice(0, 1)
+    slab = other[tuple(idx)]
+
+    d = face_axis(f)
+    src_for_my = {d: a0}
+    for i in range(1, ndims):
+        k = (d + i) % ndims
+        ai, upi = spec.axes[i] >> 1, spec.axes[i] & 1
+        if upi:
+            slab = jnp.flip(slab, axis=_axis(rank, ai))
+        src_for_my[k] = ai
+    perm = list(range(rank))
+    for k, a in src_for_my.items():
+        perm[_axis(rank, k)] = _axis(rank, a)
+    return jnp.transpose(slab, perm)
+
+
+def _neighbor_field(xs: BlockVec, b: int, f: int, topo: DomainTopo) -> Array:
+    """Neighbor values of field ``xs[b]`` across face f, with CONNECTED halo."""
+    nbr = _roll_nbr(xs[b], f)
+    spec = topo.blocks[b].faces[f]
+    if spec.kind == BoundKind.CONNECTED:
+        vals = _halo(xs[spec.connected_block], spec, f, topo.ndims)
+        nbr = nbr.at[_face_slab(nbr.ndim, f)].set(vals)
+    return nbr
+
+
+def _halo_axis_component(per_axis: BlockVec, spec: FaceSpec, f: int,
+                         ndims: int) -> Array:
+    """Halo of an axis-indexed quantity (e.g. alpha ``(d, *s)``) along the
+    neighbor's face-normal axis (computeConnectedPosWithChannel: this face's
+    axis maps to axes[0]>>1 on the neighbor)."""
+    a0 = spec.axes[0] >> 1
+    return _halo(per_axis[spec.connected_block][a0], spec, f, ndims)
+
+
 # ---------------------------------------------------------------------------
 # operator application
 # ---------------------------------------------------------------------------
 
 def stencil_apply(op: StencilOp, x: Array, ndims: int) -> Array:
-    """Apply the stencil operator; ``x`` may have leading channel dims."""
+    """Single-block apply (no CONNECTED faces)."""
     out = op.diag * x
     for f in range(2 * ndims):
-        out = out + op.off[f] * _nbr(x, f)
+        out = out + op.off[f] * _roll_nbr(x, f)
     return out
 
 
 def stencil_off_apply(op: StencilOp, x: Array, ndims: int) -> Array:
-    """Apply only the off-diagonal part (the reference's ``H u*``)."""
+    """Single-block off-diagonal apply (the reference's ``H u*``)."""
     out = jnp.zeros_like(x * op.diag)
     for f in range(2 * ndims):
-        out = out + op.off[f] * _nbr(x, f)
+        out = out + op.off[f] * _roll_nbr(x, f)
     return out
+
+
+def domain_apply(ops: tuple[StencilOp, ...], xs: BlockVec, topo: DomainTopo) -> BlockVec:
+    """Multi-block apply with halo exchange at CONNECTED faces."""
+    out = []
+    for b, (op, x) in enumerate(zip(ops, xs)):
+        y = op.diag * x
+        for f in range(2 * topo.ndims):
+            y = y + op.off[f] * _neighbor_field(xs, b, f, topo)
+        out.append(y)
+    return tuple(out)
+
+
+def domain_off_apply(ops: tuple[StencilOp, ...], xs: BlockVec, topo: DomainTopo) -> BlockVec:
+    out = []
+    for b, (op, x) in enumerate(zip(ops, xs)):
+        y = jnp.zeros_like(x * op.diag)
+        for f in range(2 * topo.ndims):
+            y = y + op.off[f] * _neighbor_field(xs, b, f, topo)
+        out.append(y)
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
@@ -149,7 +246,6 @@ def contravariant(u: Array, geom: BlockGeom, topo: BlockTopo) -> Array:
     volumetric face flux density (kernel.cu:658 getContravariantComponent)."""
     if topo.orthogonal:
         return geom.det * geom.minv_diag * u
-    # minv: (*s, k, i); u: (d, *s) -> C_k = det * sum_i minv[k,i] u_i
     c = jnp.einsum("...ki,i...->k...", geom.minv, u)
     return geom.det * c
 
@@ -161,123 +257,154 @@ def computational_velocity(u: Array, geom: BlockGeom, topo: BlockTopo) -> Array:
     return jnp.einsum("...ki,i...->k...", geom.minv, u)
 
 
-def max_computational_velocity(state: BlockState, geom: BlockGeom, topo: BlockTopo) -> Array:
-    """Max abs component of index-space velocity over cells and FIXED bounds
-    (reference Domain.getMaxVelocity(True, True), domain_structs.cpp:1580)."""
-    m = jnp.max(jnp.abs(computational_velocity(state.velocity, geom, topo)))
-    for f, spec in enumerate(topo.faces):
-        if spec.kind == BoundKind.FIXED and state.faces[f].velocity is not None:
-            d = face_axis(f)
-            if topo.orthogonal:
-                bvel = _slab(geom.minv_diag, f) * state.faces[f].velocity
-            else:
-                bvel = jnp.einsum(
-                    "...ki,i...->k...", _slab(geom.minv, f), state.faces[f].velocity
-                )
-            m = jnp.maximum(m, jnp.max(jnp.abs(bvel)))
+def max_computational_velocity(
+    state: DomainState, geoms: tuple[BlockGeom, ...], topo: DomainTopo
+) -> Array:
+    """Max abs component of index-space velocity over all blocks, cells and
+    FIXED bounds (reference Domain.getMaxVelocity(True, True),
+    domain_structs.cpp:1580,2403)."""
+    m = None
+    for blk, geom, btopo in zip(state.blocks, geoms, topo.blocks):
+        mb = jnp.max(jnp.abs(computational_velocity(blk.velocity, geom, btopo)))
+        for f, spec in enumerate(btopo.faces):
+            if spec.kind == BoundKind.FIXED and blk.faces[f].velocity is not None:
+                if btopo.orthogonal:
+                    bvel = _slab(geom.minv_diag, f) * blk.faces[f].velocity
+                else:
+                    bvel = jnp.einsum(
+                        "...ki,i...->k...",
+                        _slab_trailing(geom.minv, f, 2),
+                        blk.faces[f].velocity,
+                    )
+                mb = jnp.maximum(mb, jnp.max(jnp.abs(bvel)))
+        m = mb if m is None else jnp.maximum(m, mb)
     return m
 
 
-def _boundary_flux(state: BlockState, geom: BlockGeom, topo: BlockTopo, f: int) -> Array:
+def _boundary_flux(blk: BlockState, geom: BlockGeom, btopo: BlockTopo, f: int) -> Array:
     """Unsigned contravariant flux through FIXED face f (slab shape)."""
     d = face_axis(f)
-    bvel = state.faces[f].velocity  # (ndims, *slab)
-    if topo.orthogonal:
+    bvel = blk.faces[f].velocity  # (ndims, *slab)
+    if btopo.orthogonal:
         return _slab(geom.det * geom.minv_diag[d], f) * bvel[d]
-    minv_row = _slab(geom.minv, f)[..., d, :]  # (*slab, i)
+    minv_row = _slab_trailing(geom.minv, f, 2)[..., d, :]  # (*slab, i)
     return _slab(geom.det, f) * jnp.einsum("...i,i...->...", minv_row, bvel)
 
 
-def _face_fluxes(state: BlockState, geom: BlockGeom, topo: BlockTopo) -> list[Array]:
-    """Per-face unsigned advective fluxes (computeFluxesNDLoop)."""
-    ndims = topo.ndims
-    C = contravariant(state.velocity, geom, topo)  # (d, *s)
-    fluxes = []
-    for f in range(2 * ndims):
-        d = face_axis(f)
-        flux = 0.5 * (C[d] + _nbr(C[d], f))
-        spec = topo.faces[f]
-        if spec.kind == BoundKind.FIXED:
-            bflux = _boundary_flux(state, geom, topo, f)
-            flux = flux.at[_face_slab(flux.ndim, f)].set(bflux)
-        fluxes.append(flux)
-    return fluxes
+def _contravariants(state: DomainState, geoms, topo) -> BlockVec:
+    return tuple(
+        contravariant(blk.velocity, geom, btopo)
+        for blk, geom, btopo in zip(state.blocks, geoms, topo.blocks)
+    )
+
+
+def _field_contravariants(fields: BlockVec, geoms, topo) -> BlockVec:
+    return tuple(
+        contravariant(x, geom, btopo)
+        for x, geom, btopo in zip(fields, geoms, topo.blocks)
+    )
+
+
+def _face_flux(Cs: BlockVec, state: DomainState, geoms, topo, b: int, f: int) -> Array:
+    """Unsigned advective flux through face f of block b (computeFluxesNDLoop)."""
+    d = face_axis(f)
+    C = Cs[b][d]
+    flux = 0.5 * (C + _roll_nbr(C, f))
+    spec = topo.blocks[b].faces[f]
+    if spec.kind == BoundKind.FIXED:
+        bflux = _boundary_flux(state.blocks[b], geoms[b], topo.blocks[b], f)
+        flux = flux.at[_face_slab(flux.ndim, f)].set(bflux)
+    elif spec.kind == BoundKind.CONNECTED:
+        velN = _halo_axis_component(Cs, spec, f, topo.ndims)
+        if (spec.axes[0] & 1) == (f & 1):
+            # same-side connection: neighbor flux direction is inverted
+            # (kernel.cu:1604-1609)
+            velN = -velN
+        slab = _face_slab(flux.ndim, f)
+        flux = flux.at[slab].set(0.5 * (C[slab] + velN))
+    return flux
 
 
 # ---------------------------------------------------------------------------
 # advection-diffusion system (prediction step)
 # ---------------------------------------------------------------------------
 
-def build_advection_op(
-    state: BlockState,
-    geom: BlockGeom,
-    topo: BlockTopo,
+def build_advection_ops(
+    state: DomainState,
+    geoms: tuple[BlockGeom, ...],
+    topo: DomainTopo,
     nu: Array,
     dt: Array,
     for_scalar: bool = False,
     scalar_channel: int = 0,
-) -> StencilOp:
-    """Implicit-Euler advection-diffusion matrix (PISO_build_matrix).
-
-    ``nu``: scalar kinematic viscosity (velocity) or diffusivity (scalar
-    channel).  Returns coefficients already divided by ``det``.
+) -> tuple[StencilOp, ...]:
+    """Implicit-Euler advection-diffusion matrix for all blocks
+    (PISO_build_matrix).  Coefficients are already divided by ``det``.
+    ``nu``: kinematic viscosity (velocity) or diffusivity (scalar channel).
     """
     ndims = topo.ndims
-    det = geom.det
-    fluxes = _face_fluxes(state, geom, topo)
+    Cs = _contravariants(state, geoms, topo)
+    alphas = tuple(g.alpha for g in geoms)
 
-    diag = det / dt
-    offs = []
-    for f in range(2 * ndims):
-        d = face_axis(f)
-        spec = topo.faces[f]
-        adv = (0.5 * face_sign(f)) * fluxes[f]
-        visc = (0.5 * nu) * (geom.alpha[d] + _nbr(geom.alpha[d], f))
-        off = adv - visc
-        diag_c = adv + visc
-        if spec.kind == BoundKind.FIXED:
-            slab = _face_slab(off.ndim, f)
-            off = off.at[slab].set(0.0)
-            # wall contribution to the diagonal (ghost value at half-cell):
-            # Dirichlet (no-slip / fixed value): +2 nu alpha ; Neumann: 0
-            bctype = (
-                spec.scalar_types[scalar_channel] if for_scalar else spec.vel_type
-            )
-            wall = (
-                (2.0 * nu) * geom.alpha[d][slab]
-                if bctype == BCType.DIRICHLET
-                else jnp.zeros_like(geom.alpha[d][slab])
-            )
-            diag_c = diag_c.at[slab].set(wall)
-        diag = diag + diag_c
-        offs.append(off / det)
-    return StencilOp(diag=diag / det, off=jnp.stack(offs, axis=0))
+    ops = []
+    for b, (blk, geom, btopo) in enumerate(zip(state.blocks, geoms, topo.blocks)):
+        det = geom.det
+        diag = det / dt
+        offs = []
+        for f in range(2 * ndims):
+            d = face_axis(f)
+            spec = btopo.faces[f]
+            adv = (0.5 * face_sign(f)) * _face_flux(Cs, state, geoms, topo, b, f)
+            alpha_n = _roll_nbr(geom.alpha[d], f)
+            if spec.kind == BoundKind.CONNECTED:
+                halo_a = _halo_axis_component(alphas, spec, f, ndims)
+                alpha_n = alpha_n.at[_face_slab(alpha_n.ndim, f)].set(halo_a)
+            visc = (0.5 * nu) * (geom.alpha[d] + alpha_n)
+            off = adv - visc
+            diag_c = adv + visc
+            if spec.kind == BoundKind.FIXED:
+                slab = _face_slab(off.ndim, f)
+                off = off.at[slab].set(0.0)
+                # wall contribution to the diagonal (ghost value at half-cell):
+                # Dirichlet (no-slip / fixed value): +2 nu alpha ; Neumann: 0
+                bctype = (
+                    spec.scalar_types[scalar_channel] if for_scalar else spec.vel_type
+                )
+                wall = (
+                    (2.0 * nu) * geom.alpha[d][slab]
+                    if bctype == BCType.DIRICHLET
+                    else jnp.zeros_like(geom.alpha[d][slab])
+                )
+                diag_c = diag_c.at[slab].set(wall)
+            diag = diag + diag_c
+            offs.append(off / det)
+        ops.append(StencilOp(diag=diag / det, off=jnp.stack(offs, axis=0)))
+    return tuple(ops)
 
 
 def _boundary_rhs_terms(
-    state: BlockState,
+    blk: BlockState,
     geom: BlockGeom,
-    topo: BlockTopo,
+    btopo: BlockTopo,
     nu: Array,
     values_fn,
     bctype_fn,
     neumann_source: bool = False,
 ) -> Array:
-    """Shared boundary source accumulation for advection RHS (velocity and
-    scalar variants).  ``values_fn(f) -> (C, *slab)`` boundary values,
-    ``bctype_fn(f) -> BCType``.  ``neumann_source``: scalars get a
-    prescribed-gradient diffusive source ``nu * value`` on Neumann faces
-    (kernel.cu:4266-4272); slip velocity walls get none.
-    Returns ``(C, *spatial)`` (to be /det)."""
-    ndims = topo.ndims
+    """Boundary source accumulation for advection RHS (velocity and scalar
+    variants).  ``values_fn(f) -> (C, *slab)`` boundary values, ``bctype_fn(f)
+    -> BCType``.  ``neumann_source``: scalars get a prescribed-gradient
+    diffusive source ``nu * value`` on Neumann faces (kernel.cu:4266-4272);
+    slip velocity walls get none.  Returns ``(C, *spatial)`` (to be /det)."""
+    ndims = btopo.ndims
     out = None
     for f in range(2 * ndims):
-        spec = topo.faces[f]
+        spec = btopo.faces[f]
         if spec.kind != BoundKind.FIXED:
             continue
         d = face_axis(f)
         vals = values_fn(f)  # (C, *slab)
-        bflux = _boundary_flux(state, geom, topo, f) * face_sign(f)
+        bflux = _boundary_flux(blk, geom, btopo, f) * face_sign(f)
         alpha_b = _slab(geom.alpha[d], f)
         term = -vals * bflux  # advective boundary source
         if bctype_fn(f) == BCType.DIRICHLET:
@@ -285,61 +412,67 @@ def _boundary_rhs_terms(
         elif neumann_source:
             term = term + vals * nu
         if out is None:
-            out = jnp.zeros(vals.shape[:-len(topo.shape)] + topo.shape, term.dtype)
-        out = out.at[(slice(None),) * (out.ndim - len(topo.shape)) + _face_slab(len(topo.shape), f)].add(term)
+            out = jnp.zeros(vals.shape[: -len(btopo.shape)] + btopo.shape, term.dtype)
+        out = out.at[
+            (slice(None),) * (out.ndim - len(btopo.shape))
+            + _face_slab(len(btopo.shape), f)
+        ].add(term)
     if out is None:
-        out = jnp.zeros((1,) + topo.shape, geom.det.dtype)
+        out = jnp.zeros((1,) + btopo.shape, geom.det.dtype)
     return out
 
 
 def advection_rhs_velocity(
-    state: BlockState,
-    geom: BlockGeom,
-    topo: BlockTopo,
+    state: DomainState,
+    geoms: tuple[BlockGeom, ...],
+    topo: DomainTopo,
     nu: Array,
     dt: Array,
-) -> Array:
-    """RHS of the velocity prediction system (kPISO_build_advection_RHS)."""
-    bterms = _boundary_rhs_terms(
-        state,
-        geom,
-        topo,
-        nu,
-        values_fn=lambda f: state.faces[f].velocity,
-        bctype_fn=lambda f: topo.faces[f].vel_type,
-    )
-    rhs = state.velocity / dt + bterms / geom.det
-    if state.velocity_source is not None:
-        rhs = rhs + state.velocity_source
-    return rhs
+) -> BlockVec:
+    """RHS of the velocity prediction system per block
+    (kPISO_build_advection_RHS)."""
+    out = []
+    for blk, geom, btopo in zip(state.blocks, geoms, topo.blocks):
+        bterms = _boundary_rhs_terms(
+            blk, geom, btopo, nu,
+            values_fn=lambda f, _b=blk: _b.faces[f].velocity,
+            bctype_fn=lambda f, _t=btopo: _t.faces[f].vel_type,
+        )
+        rhs = blk.velocity / dt + bterms / geom.det
+        if blk.velocity_source is not None:
+            rhs = rhs + blk.velocity_source
+        out.append(rhs)
+    return tuple(out)
 
 
 def advection_rhs_scalar(
-    state: BlockState,
-    geom: BlockGeom,
-    topo: BlockTopo,
+    state: DomainState,
+    geoms: tuple[BlockGeom, ...],
+    topo: DomainTopo,
     kappa: Array,
     dt: Array,
     channel: int,
-) -> Array:
-    """RHS of the scalar prediction system for one channel; ``(*spatial)``."""
-    bterms = _boundary_rhs_terms(
-        state,
-        geom,
-        topo,
-        kappa,
-        values_fn=lambda f: state.faces[f].scalar[channel : channel + 1],
-        bctype_fn=lambda f: topo.faces[f].scalar_types[channel],
-        neumann_source=True,
-    )
-    return state.scalar[channel] / dt + bterms[0] / geom.det
+) -> BlockVec:
+    """RHS of the scalar prediction system for one channel, per block."""
+    out = []
+    for blk, geom, btopo in zip(state.blocks, geoms, topo.blocks):
+        bterms = _boundary_rhs_terms(
+            blk, geom, btopo, kappa,
+            values_fn=lambda f, _b=blk: _b.faces[f].scalar[channel : channel + 1],
+            bctype_fn=lambda f, _t=btopo: _t.faces[f].scalar_types[channel],
+            neumann_source=True,
+        )
+        out.append(blk.scalar[channel] / dt + bterms[0] / geom.det)
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
 # pressure system (corrector step)
 # ---------------------------------------------------------------------------
 
-def build_pressure_op(adiag: Array, geom: BlockGeom, topo: BlockTopo) -> StencilOp:
+def build_pressure_ops(
+    adiags: BlockVec, geoms: tuple[BlockGeom, ...], topo: DomainTopo
+) -> tuple[StencilOp, ...]:
     """Pressure Poisson matrix (PISO_build_pressure_matrix, kernel.cu:4813).
 
     Built SIGN-FLIPPED relative to the reference (positive definite) so plain
@@ -347,120 +480,137 @@ def build_pressure_op(adiag: Array, geom: BlockGeom, topo: BlockTopo) -> Stencil
     alpha_N/A_N)``, ``diag = -sum_f off_f``; zero (Neumann) at FIXED faces.
     """
     ndims = topo.ndims
-    ra = geom.alpha / adiag  # (d, *s)
-    diag = jnp.zeros_like(adiag)
-    offs = []
-    for f in range(2 * ndims):
-        d = face_axis(f)
-        coef = 0.5 * (ra[d] + _nbr(ra[d], f))
-        if topo.faces[f].kind == BoundKind.FIXED:
-            coef = coef.at[_face_slab(coef.ndim, f)].set(0.0)
-        diag = diag + coef
-        offs.append(-coef)
-    return StencilOp(diag=diag, off=jnp.stack(offs, axis=0))
+    ras = tuple(g.alpha / a for g, a in zip(geoms, adiags))  # (d, *s) per block
+    ops = []
+    for b, (geom, btopo) in enumerate(zip(geoms, topo.blocks)):
+        diag = jnp.zeros_like(adiags[b])
+        offs = []
+        for f in range(2 * ndims):
+            d = face_axis(f)
+            spec = btopo.faces[f]
+            ra_n = _roll_nbr(ras[b][d], f)
+            if spec.kind == BoundKind.CONNECTED:
+                halo_ra = _halo_axis_component(ras, spec, f, ndims)
+                ra_n = ra_n.at[_face_slab(ra_n.ndim, f)].set(halo_ra)
+            coef = 0.5 * (ras[b][d] + ra_n)
+            if spec.kind == BoundKind.FIXED:
+                coef = coef.at[_face_slab(coef.ndim, f)].set(0.0)
+            diag = diag + coef
+            offs.append(-coef)
+        ops.append(StencilOp(diag=diag, off=jnp.stack(offs, axis=0)))
+    return tuple(ops)
 
 
 def pressure_rhs_vec(
-    state: BlockState,
-    geom: BlockGeom,
-    topo: BlockTopo,
-    adv_op: StencilOp,
-    u_star: Array,
+    state: DomainState,
+    geoms: tuple[BlockGeom, ...],
+    topo: DomainTopo,
+    adv_ops: tuple[StencilOp, ...],
+    u_star: BlockVec,
     nu: Array,
     dt: Array,
-) -> Array:
-    """``hbyA = (u_old/dt - H u* + S)/A`` (PISO_build_pressure_rhs).
+) -> BlockVec:
+    """``hbyA = (u_old/dt - H u* + S)/A`` per block (PISO_build_pressure_rhs).
 
-    ``u_old`` is the block velocity from before the prediction solve; the
-    boundary sources S match the advection RHS ones
-    (PRESSURE_RHS_WITH_BOUNDARY_SOURCES is enabled in the reference,
-    kernel.cu:5134).
+    ``u_old`` is the block velocity from before the prediction solve; boundary
+    sources S match the advection RHS ones (PRESSURE_RHS_WITH_BOUNDARY_SOURCES
+    is enabled in the reference, kernel.cu:5134).
     """
-    H = stencil_off_apply(adv_op, u_star, topo.ndims)
-    bterms = _boundary_rhs_terms(
-        state,
-        geom,
-        topo,
-        nu,
-        values_fn=lambda f: state.faces[f].velocity,
-        bctype_fn=lambda f: topo.faces[f].vel_type,
-    )
-    S = bterms / geom.det
-    if state.velocity_source is not None:
-        S = S + state.velocity_source
-    return (state.velocity / dt - H + S) / adv_op.diag
+    H = domain_off_apply(adv_ops, u_star, topo)
+    out = []
+    for b, (blk, geom, btopo) in enumerate(zip(state.blocks, geoms, topo.blocks)):
+        bterms = _boundary_rhs_terms(
+            blk, geom, btopo, nu,
+            values_fn=lambda f, _b=blk: _b.faces[f].velocity,
+            bctype_fn=lambda f, _t=btopo: _t.faces[f].vel_type,
+        )
+        S = bterms / geom.det
+        if blk.velocity_source is not None:
+            S = S + blk.velocity_source
+        out.append((blk.velocity / dt - H[b] + S) / adv_ops[b].diag)
+    return tuple(out)
 
 
 def divergence_of(
-    field: Array,
-    state: BlockState,
-    geom: BlockGeom,
-    topo: BlockTopo,
-) -> Array:
-    """Divergence of a colocated vector field from contravariant face fluxes;
-    FIXED faces use the prescribed boundary velocity flux
+    fields: BlockVec,
+    state: DomainState,
+    geoms: tuple[BlockGeom, ...],
+    topo: DomainTopo,
+) -> BlockVec:
+    """Divergence of a colocated vector field (per block) from contravariant
+    face fluxes; FIXED faces use the prescribed boundary velocity flux
     (k_computePressureRHSdivergenceFromFlux -> computeFluxesNDLoop)."""
     ndims = topo.ndims
-    C = contravariant(field, geom, topo)
-    div = jnp.zeros_like(geom.det)
-    for f in range(2 * ndims):
-        d = face_axis(f)
-        flux = 0.5 * (C[d] + _nbr(C[d], f))
-        if topo.faces[f].kind == BoundKind.FIXED:
-            bflux = _boundary_flux(state, geom, topo, f)
-            flux = flux.at[_face_slab(flux.ndim, f)].set(bflux)
-        div = div + face_sign(f) * flux
-    return div
+    Cs = _field_contravariants(fields, geoms, topo)
+    out = []
+    for b, (geom, btopo) in enumerate(zip(geoms, topo.blocks)):
+        div = jnp.zeros_like(geom.det)
+        for f in range(2 * ndims):
+            flux = _face_flux(Cs, state, geoms, topo, b, f)
+            div = div + face_sign(f) * flux
+        out.append(div)
+    return tuple(out)
 
 
-def velocity_divergence(state: BlockState, geom: BlockGeom, topo: BlockTopo) -> Array:
-    """Divergence of the current block velocity (diagnostic)."""
-    return divergence_of(state.velocity, state, geom, topo)
+def velocity_divergence(state: DomainState, geoms, topo) -> BlockVec:
+    """Divergence of the current velocity (diagnostic)."""
+    return divergence_of(
+        tuple(b.velocity for b in state.blocks), state, geoms, topo
+    )
 
 
-def pressure_gradient(p: Array, geom: BlockGeom, topo: BlockTopo) -> Array:
-    """FD pressure gradient (getPressureGradient, kernel.cu:816-850).
+def pressure_gradient(
+    ps: BlockVec, geoms: tuple[BlockGeom, ...], topo: DomainTopo
+) -> BlockVec:
+    """FD pressure gradient per block (getPressureGradient, kernel.cu:816-850).
 
     Central differences over +-1 cells in index space; one-sided at FIXED
-    faces; mapped to physical space with ``M^-T``.  Returns ``(d, *s)``.
+    faces; CONNECTED/PERIODIC neighbors resolved; mapped to physical space
+    with ``M^-T``.  Returns ``(d, *s)`` per block.
     """
     ndims = topo.ndims
-    grads = []
-    for d in range(ndims):
-        lo_fixed = topo.faces[2 * d].kind == BoundKind.FIXED
-        hi_fixed = topo.faces[2 * d + 1].kind == BoundKind.FIXED
-        ax = _axis(p.ndim, d)
-        val_n = jnp.roll(p, 1, axis=ax)
-        val_p = jnp.roll(p, -1, axis=ax)
-        fac = jnp.full_like(p, 0.5)
-        if lo_fixed:
-            slab = _face_slab(p.ndim, 2 * d)
-            val_n = val_n.at[slab].set(p[slab])
-            fac = fac.at[slab].set(1.0)
-        if hi_fixed:
-            slab = _face_slab(p.ndim, 2 * d + 1)
-            val_p = val_p.at[slab].set(p[slab])
-            fac = fac.at[slab].set(1.0)
-        grads.append((val_p - val_n) * fac)
-    g = jnp.stack(grads, axis=0)  # index-space gradient (d, *s)
-    if topo.orthogonal:
-        return geom.minv_diag * g
-    # physical grad_i = sum_k Minv[k, i] * g_k
-    return jnp.einsum("...ki,k...->i...", geom.minv, g)
+    out = []
+    for b, (geom, btopo) in enumerate(zip(geoms, topo.blocks)):
+        p = ps[b]
+        grads = []
+        for d in range(ndims):
+            f_lo, f_hi = 2 * d, 2 * d + 1
+            val_n = _neighbor_field(ps, b, f_lo, topo)
+            val_p = _neighbor_field(ps, b, f_hi, topo)
+            fac = jnp.full_like(p, 0.5)
+            if btopo.faces[f_lo].kind == BoundKind.FIXED:
+                slab = _face_slab(p.ndim, f_lo)
+                val_n = val_n.at[slab].set(p[slab])
+                fac = fac.at[slab].set(1.0)
+            if btopo.faces[f_hi].kind == BoundKind.FIXED:
+                slab = _face_slab(p.ndim, f_hi)
+                val_p = val_p.at[slab].set(p[slab])
+                fac = fac.at[slab].set(1.0)
+            grads.append((val_p - val_n) * fac)
+        g = jnp.stack(grads, axis=0)  # index-space gradient (d, *s)
+        if btopo.orthogonal:
+            out.append(geom.minv_diag * g)
+        else:
+            out.append(jnp.einsum("...ki,k...->i...", geom.minv, g))
+    return tuple(out)
 
 
 def correct_velocity_fd(
-    hbyA: Array,
-    p: Array,
-    adiag: Array,
-    geom: BlockGeom,
-    topo: BlockTopo,
+    hbyA: BlockVec,
+    ps: BlockVec,
+    adiags: BlockVec,
+    geoms: tuple[BlockGeom, ...],
+    topo: DomainTopo,
     dt: Array,
     time_step_normalized: bool = False,
-) -> Array:
-    """FD velocity corrector: ``u = hbyA - (1/A) grad p`` (PISO_update_velocity)."""
-    grad = pressure_gradient(p, geom, topo)
-    upd = grad / adiag
-    if time_step_normalized:
-        upd = upd * dt
-    return hbyA - upd
+) -> BlockVec:
+    """FD velocity corrector per block: ``u = hbyA - (1/A) grad p``
+    (PISO_update_velocity)."""
+    grads = pressure_gradient(ps, geoms, topo)
+    out = []
+    for b in range(len(hbyA)):
+        upd = grads[b] / adiags[b]
+        if time_step_normalized:
+            upd = upd * dt
+        out.append(hbyA[b] - upd)
+    return tuple(out)

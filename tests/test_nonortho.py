@@ -1,0 +1,127 @@
+"""Non-orthogonal correction tests: operator consistency on a sheared grid.
+
+On a uniformly sheared grid the metric has constant off-diagonal terms, so
+the orthogonal-only operator is INCONSISTENT with the physical Laplacian; with
+the non-ortho matrix + deferred-RHS terms the full operator must approximate
+``phi/dt - nu lap(phi)`` to second order.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fluidgym_tpu.core import geometry as geo
+from fluidgym_tpu.core.domain import DomainBuilder
+from fluidgym_tpu.solver import nonortho
+from fluidgym_tpu.solver import stencil as st
+
+
+def _sheared_domain(n, shear, nu=1.0):
+    """Unit box sheared in x by ``shear * y``, Dirichlet scalar walls holding
+    an analytic field's boundary values."""
+    base = geo.make_uniform_grid((n, n), (0.0, 0.0), (1.0, 1.0))
+    coords = base.copy()
+    coords[0] = base[0] + shear * base[1]  # x' = x + s*y
+    dom = DomainBuilder(ndims=2, viscosity=nu, scalar_channels=1)
+    blk = dom.create_block(coords)
+    assert not blk.orthogonal
+    return dom, blk
+
+
+def _phi(x, y):
+    return np.sin(2 * np.pi * x) * np.sin(2 * np.pi * y) + 0.3 * np.cos(
+        2 * np.pi * (x - y)
+    )
+
+
+def _lap_phi(x, y):
+    k = (2 * np.pi) ** 2
+    return -2 * k * np.sin(2 * np.pi * x) * np.sin(2 * np.pi * y) - 0.3 * 2 * k * np.cos(
+        2 * np.pi * (x - y)
+    )
+
+
+def test_sheared_operator_consistency():
+    n, shear, nu = 64, 0.35, 1.0
+    dom, blk = _sheared_domain(n, shear, nu)
+    centers = blk._centers  # (2, ny, nx) physical coords
+    X, Y = centers[0], centers[1]
+    phi = _phi(X, Y)
+
+    # Dirichlet walls holding the analytic boundary values (at the wall-
+    # adjacent ghost position approximated by the boundary face value)
+    for f in range(4):
+        blk.close_boundary(f)
+    # set face scalar values from analytic field evaluated at face centers
+    vcoords = blk.coords
+    for f, sl in ((0, (slice(None), slice(0, 1))), (1, (slice(None), slice(-1, None))),
+                  (2, (slice(0, 1), slice(None))), (3, (slice(-1, None), slice(None)))):
+        # face centers: average adjacent vertex coords along the face
+        if f < 2:
+            vx = vcoords[:, :, 0 if f == 0 else -1]
+            fc = 0.5 * (vx[:, 1:] + vx[:, :-1])  # (2, ny)
+            vals = _phi(fc[0], fc[1])[None, :, None]
+            vals = np.moveaxis(vals, 2, 2)
+            blk.set_boundary_scalar(f, vals.reshape(1, n, 1))
+        else:
+            vy = vcoords[:, 0 if f == 2 else -1, :]
+            fc = 0.5 * (vy[:, 1:] + vy[:, :-1])  # (2, nx)
+            blk.set_boundary_scalar(f, _phi(fc[0], fc[1]).reshape(1, 1, n))
+
+    blk.set_scalar(phi[None])
+    topo, geoms, state = dom.build()
+    dt = jnp.asarray(1.0, jnp.float32)
+    kappa = jnp.asarray(nu, jnp.float32)
+
+    ops = st.build_advection_ops(state, geoms, topo, kappa, dt,
+                                 for_scalar=True, scalar_channel=0)
+    rhs = st.advection_rhs_scalar(state, geoms, topo, kappa, dt, 0)
+
+    ones = (jnp.ones_like(geoms[0].det),)
+    ops_no = nonortho.apply_matrix_terms(
+        ops, geoms, topo, tuple(o * kappa for o in ones),
+        det_divide=True, field="scalar")
+    S = nonortho.deferred_rhs(
+        (state.blocks[0].scalar[0],), geoms, topo, ones, field="scalar",
+        bval_fn=lambda b, f: state.blocks[b].faces[f].scalar[0])
+
+    phi_j = jnp.asarray(phi, jnp.float32)
+    # residual of the full (matrix + deferred) operator against the RHS
+    # sources: at the analytic solution,
+    #   A phi + S*kappa/det - (phi/dt + bterms/det) ~ -nu lap(phi) ... = 0
+    # i.e. the "operator applied" form must equal phi/dt - nu*lap(phi):
+    lhs_full = (
+        st.domain_apply(ops_no, (phi_j,), topo)[0]
+        + S[0] * kappa / geoms[0].det
+        - (rhs[0] - phi_j / dt)  # boundary source terms
+    )
+    target = phi / 1.0 - nu * _lap_phi(np.asarray(X), np.asarray(Y))
+
+    lhs_ortho = (
+        st.domain_apply(ops, (phi_j,), topo)[0] - (rhs[0] - phi_j / dt)
+    )
+
+    interior = (slice(2, -2), slice(2, -2))
+    err_full = np.abs(np.asarray(lhs_full)[interior] - target[interior]).mean()
+    err_ortho = np.abs(np.asarray(lhs_ortho)[interior] - target[interior]).mean()
+    scale = np.abs(target[interior]).mean()
+
+    # non-ortho corrections must make the operator consistent...
+    assert err_full / scale < 0.02, (err_full / scale, err_ortho / scale)
+    # ...and substantially more accurate than the orthogonal-only operator
+    assert err_full < 0.25 * err_ortho
+
+
+def test_nonortho_vanishes_on_orthogonal_grid():
+    n = 16
+    dom = DomainBuilder(ndims=2, viscosity=0.1)
+    dom.create_block(geo.make_uniform_grid((n, n), (0, 0), (1.0, 1.0)))
+    topo, geoms, state = dom.build()
+    assert nonortho.cross_coefficients(geoms[0], topo.blocks[0].orthogonal) is None
+    dt = jnp.asarray(0.1, jnp.float32)
+    ops = st.build_advection_ops(state, geoms, topo, state.viscosity, dt)
+    ops2 = nonortho.apply_matrix_terms(
+        ops, geoms, topo, (jnp.ones_like(geoms[0].det),),
+        det_divide=True, field="velocity")
+    assert ops2[0] is ops[0]

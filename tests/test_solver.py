@@ -56,11 +56,11 @@ def test_projection_divergence_free():
                                        maxiter=2000)
     )
     div0 = float(jnp.max(jnp.abs(
-        st.velocity_divergence(state.blocks[0], geoms[0], topo.blocks[0]))))
+        st.velocity_divergence(state, geoms, topo)[0])))
     for _ in range(4):
         state = proj(state)
     div4 = float(jnp.max(jnp.abs(
-        st.velocity_divergence(state.blocks[0], geoms[0], topo.blocks[0]))))
+        st.velocity_divergence(state, geoms, topo)[0])))
     assert div4 < 1e-3 * div0
 
 
@@ -84,7 +84,7 @@ def test_taylor_green_decay():
     assert e1 < e0
     assert abs(e1 - expected) / expected < 0.1
     # velocity field stays divergence-free
-    div = st.velocity_divergence(state2.blocks[0], geoms[0], topo.blocks[0])
+    div = st.velocity_divergence(state2, geoms, topo)[0]
     assert float(jnp.max(jnp.abs(div))) < 1e-3
 
 
