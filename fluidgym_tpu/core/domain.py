@@ -196,7 +196,8 @@ class BlockGeom:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("velocity", "pressure", "scalar", "velocity_source", "faces"),
+    data_fields=("velocity", "pressure", "scalar", "velocity_source",
+                 "viscosity", "faces"),
     meta_fields=(),
 )
 @dataclass
@@ -208,6 +209,9 @@ class BlockState:
     scalar: Array | None              # (channels, *s)
     velocity_source: Array | None     # (ndims, *s), acceleration units
     faces: tuple[FaceData, ...]       # len 2*ndims
+    # optional per-cell kinematic viscosity (*s) overriding the domain scalar
+    # (reference Block.setViscosity, used by the Smagorinsky SGS hook)
+    viscosity: Array | None = None
 
 
 @partial(
@@ -289,8 +293,26 @@ class _BlockBuilder:
 
         Default: no-slip wall (zero Dirichlet velocity), zero Dirichlet scalar
         -- matching reference ``Block.CloseBoundary`` (domain_structs.cpp:1981).
+        Closing one face of a PERIODIC pair also closes the partner face with
+        a default wall (CloseConnectedBoudary, domain_structs.cpp:1811-1818).
         """
         f = self._face_index(face)
+        partner = f ^ 1
+        if (
+            self.faces[f].kind == BoundKind.PERIODIC
+            and self.faces[partner].kind == BoundKind.PERIODIC
+        ):
+            c = self.domain.scalar_channels
+            fs_p = face_shape(self.shape, partner)
+            self.faces[partner] = FaceSpec(
+                kind=BoundKind.FIXED,
+                vel_type=BCType.DIRICHLET,
+                scalar_types=tuple(BCType.DIRICHLET for _ in range(c)),
+            )
+            self.face_data[partner] = FaceData(
+                velocity=np.zeros((self.ndims, *fs_p)),
+                scalar=np.zeros((c, *fs_p)) if c else None,
+            )
         fs = face_shape(self.shape, f)
         c = self.domain.scalar_channels
         if scalar_types is None:
@@ -451,6 +473,10 @@ class DomainBuilder:
             kind=BoundKind.CONNECTED, connected_block=block_a, connected_face=fa,
             axes=tuple(axes_b),
         )
+        # drop stale prescribed-value arrays (a previously closed face being
+        # reconnected, reference ConnectBlock over CloseBoundary)
+        a.face_data[fa] = FaceData()
+        b.face_data[fb] = FaceData()
 
     # -- finalize ----------------------------------------------------------
     def build(self):
@@ -503,6 +529,7 @@ class DomainBuilder:
                         else jnp.asarray(b.velocity_source, dt)
                     ),
                     faces=faces,
+                    viscosity=None,
                 )
             )
         topo = DomainTopo(

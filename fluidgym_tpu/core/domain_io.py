@@ -101,6 +101,7 @@ def save_domain(
                 "pressure": put(f"b{i}_pressure", blk.pressure),
                 "scalar": put(f"b{i}_scalar", blk.scalar),
                 "velocity_source": put(f"b{i}_velocity_source", blk.velocity_source),
+                "block_viscosity": put(f"b{i}_block_viscosity", blk.viscosity),
                 "det": put(f"b{i}_det", geom.det),
                 "minv_diag": put(f"b{i}_minv_diag", geom.minv_diag),
                 "minv": put(f"b{i}_minv", geom.minv),
@@ -169,6 +170,7 @@ def load_domain(path: str | Path, dtype=None):
                 scalar=get(b["scalar"]),
                 velocity_source=get(b["velocity_source"]),
                 faces=faces,
+                viscosity=get(b.get("block_viscosity")),
             )
         )
     topo = DomainTopo(

@@ -185,6 +185,67 @@ def make_wall_refined_ortho_grid(
     )
 
 
+def make_torus_2d(
+    res: int,
+    r1: float,
+    r2: float,
+    start_angle: float,
+    angle: float,
+    offset=None,
+) -> np.ndarray:
+    """Annulus-segment grid (reference shapes.make_torus_2D, shapes.py:679).
+
+    ``res``: angular cell resolution; radial resolution is chosen for
+    approximately square cells growing linearly with radius.  Angles in
+    degrees, ``start_angle=0`` on the +x axis, positive angle counter-
+    clockwise.  Returns ``(2, ny+1, nx+1)`` with x along the angle and y along
+    the radius.
+    """
+    if res <= 1 or r1 <= 0 or r2 <= r1:
+        raise ValueError("invalid torus parameters")
+    start_angle = start_angle % 360
+    x = res + 1
+    rad_step = np.deg2rad(angle / (x - 1))
+    start_rad = np.deg2rad(start_angle)
+    end_rad = start_rad + np.deg2rad(angle)
+    corners = [
+        (np.cos(start_rad) * r1, np.sin(start_rad) * r1),
+        (np.cos(end_rad) * r1, np.sin(end_rad) * r1),
+        (np.cos(start_rad) * r2, np.sin(start_rad) * r2),
+        (np.cos(end_rad) * r2, np.sin(end_rad) * r2),
+    ]
+    lower_border = np.asarray(
+        [(np.cos(start_rad + rad_step * i) * r1,
+          np.sin(start_rad + rad_step * i) * r1) for i in range(x)]
+    )
+    upper_border = np.asarray(
+        [(np.cos(start_rad + rad_step * i) * r2,
+          np.sin(start_rad + rad_step * i) * r2) for i in range(x)]
+    )
+
+    # roughly square cells, width growing linearly with radius
+    r = r2 - r1
+    sizes = []
+    d = r1
+    width_scale = 2 * np.pi / x * (abs(angle) / 360)
+    while d < r2:
+        width = d * width_scale
+        sizes.append(width)
+        d += width
+    scale = (d - r1) / r
+    sizes = [w / scale for w in sizes]
+    y = len(sizes) + 1
+    x_weights = np.concatenate([[0.0], np.cumsum(sizes) / r])
+
+    grid = generate_grid_vertices_2d(
+        (y, x), corners, [None, None, lower_border, upper_border],
+        x_weights=x_weights,
+    )
+    if offset is not None:
+        grid = grid + np.asarray(offset, np.float64).reshape(2, 1, 1)
+    return grid
+
+
 def make_uniform_grid(res, lower, upper) -> np.ndarray:
     """Uniform rectilinear grid. ``res``/``lower``/``upper`` are per physical
     axis (x, y[, z]). Returns ``(d, *vertex_shape)`` with z,y,x axis order."""

@@ -50,3 +50,51 @@ def _register_rbc() -> None:
 
 
 _register_rbc()
+
+def _register_cylinder() -> None:
+    from fluidgym_tpu.envs.cylinder import (
+        CYLINDER_JET_2D_DEFAULT_CONFIG,
+        CYLINDER_ROT_2D_DEFAULT_CONFIG,
+        CylinderJetEnv2D,
+        CylinderRotEnv2D,
+    )
+
+    # 2D cylinder (reference __init__.py:28-74)
+    register("CylinderJet2D-easy-v0", CylinderJetEnv2D,
+             CYLINDER_JET_2D_DEFAULT_CONFIG, reynolds_number=100, resolution=24)
+    register("CylinderJet2D-medium-v0", CylinderJetEnv2D,
+             CYLINDER_JET_2D_DEFAULT_CONFIG, reynolds_number=250, resolution=32)
+    register("CylinderJet2D-hard-v0", CylinderJetEnv2D,
+             CYLINDER_JET_2D_DEFAULT_CONFIG, reynolds_number=500, resolution=32)
+    register("CylinderRot2D-easy-v0", CylinderRotEnv2D,
+             CYLINDER_ROT_2D_DEFAULT_CONFIG, reynolds_number=100, resolution=24)
+    register("CylinderRot2D-medium-v0", CylinderRotEnv2D,
+             CYLINDER_ROT_2D_DEFAULT_CONFIG, reynolds_number=250, resolution=32)
+    register("CylinderRot2D-hard-v0", CylinderRotEnv2D,
+             CYLINDER_ROT_2D_DEFAULT_CONFIG, reynolds_number=500, resolution=32)
+
+
+_register_cylinder()
+
+
+def _register_tcf() -> None:
+    from fluidgym_tpu.envs.tcf import (
+        LARGE_TCF_3D_DEFAULT_CONFIG,
+        SMALL_TCF_3D_DEFAULT_CONFIG,
+        TCF3DBothEnv,
+        TCF3DBottomEnv,
+    )
+
+    # (reference __init__.py:218-305)
+    for diff, re_wall in (("easy", 180), ("medium", 330), ("hard", 550)):
+        register(f"TCFSmall3D-bottom-{diff}-v0", TCF3DBottomEnv,
+                 SMALL_TCF_3D_DEFAULT_CONFIG, reynolds_number_wall=re_wall)
+        register(f"TCFSmall3D-both-{diff}-v0", TCF3DBothEnv,
+                 SMALL_TCF_3D_DEFAULT_CONFIG, reynolds_number_wall=re_wall)
+        register(f"TCFLarge3D-bottom-{diff}-v0", TCF3DBottomEnv,
+                 LARGE_TCF_3D_DEFAULT_CONFIG, reynolds_number_wall=re_wall)
+        register(f"TCFLarge3D-both-{diff}-v0", TCF3DBothEnv,
+                 LARGE_TCF_3D_DEFAULT_CONFIG, reynolds_number_wall=re_wall)
+
+
+_register_tcf()

@@ -1,0 +1,515 @@
+"""Abstract base class for cylinder flow environments (von Karman vortex
+street).
+
+TPU-native re-expression of the reference
+(``/root/reference/src/fluidgym/envs/cylinder/cylinder_env_base.py:36-869``):
+
+* 5-block curvilinear O-grid + wake block (grid.py);
+* parabolic inflow, convective outflow on the wake's +x face via the PRE hook
+  (update_advective_boundaries + flux balancing, :277-301);
+* solver preset: adaptive substeps, non-orthogonal corrections, pressure tol
+  1e-5 (2D) / 5e-7 (3D), FD corrector, make_divergence_free at init
+  (:303-332);
+* 151 wake/ring sensors on the resampled uniform grid (:451-516);
+* drag/lift from wall-stress integration around the cylinder (:616-698);
+* reward ``cd_ref - cd - lift_penalty*|cl|`` with Rabault action smoothing
+  ``c <- c + alpha*(a - c)`` per sim step (:741-776);
+* domain randomization: field noise + a random number of uncontrolled steps
+  to randomize the shedding phase (:364-404).
+
+The env's pure step carries ``(DomainState, last_control)`` through a
+``lax.scan`` over the sim steps, accumulating per-step drag/lift.
+"""
+
+from __future__ import annotations
+
+from abc import abstractmethod
+from dataclasses import replace
+from functools import partial
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from gymnasium import spaces
+
+from fluidgym_tpu.core import geometry as geo
+from fluidgym_tpu.core.domain import DomainState
+from fluidgym_tpu.envs.cylinder.grid import make_vortex_street_domain
+from fluidgym_tpu.envs.fluid_env import FluidEnv, Stats
+from fluidgym_tpu.envs.util.forces import (
+    compute_forces_2d,
+    compute_forces_3d,
+    wall_distance_from_vertices,
+)
+from fluidgym_tpu.envs.util.multiblock_resample import make_multiblock_plan
+from fluidgym_tpu.solver.boundaries import make_convective_outflow_hook
+from fluidgym_tpu.solver.piso import ADAPTIVE, Hooks, SimConfig, make_divergence_free, single_step
+
+Array = jax.Array
+
+VORTICITY_RENDER_RANGE = (-10, 10)
+
+
+class CylinderEnvBase(FluidEnv):
+    """Abstract base class for cylinder flow environments."""
+
+    _default_render_key: str = "vorticity"
+    _action_smoothing_alpha: float = 0.1
+
+    H: float = 4.1
+    L: float = 22.0
+    D: float = 4.0  # z extent for 3D
+    cylinder_diameter: float = 1.0
+    _U_mean: float = 1.0
+    cylinder_offset_y: float = 0.05
+    _n_sensors_x_y: int = 151
+    _vortex_street_refinement_base: float = 0.95
+    _metrics: list[str] = ["drag", "lift"]
+    _vorticity_stats: Stats | None = None
+    _initial_domain_steps = 400
+    _initial_domain_restart = False
+
+    def __init__(
+        self,
+        reynolds_number: float,
+        resolution: int,
+        dt: float,
+        adaptive_cfl: float,
+        step_length: float,
+        episode_length: int,
+        ndims: int,
+        lift_penalty: float,
+        use_marl: bool,
+        dtype=None,
+        debug: bool = False,
+        load_initial_domain: bool = True,
+        load_domain_statistics: bool = True,
+        randomize_initial_state: bool = True,
+        enable_actions: bool = True,
+        differentiable: bool = False,
+    ):
+        self._reynolds_number = float(reynolds_number)
+        self._circle_resolution_angular = int(resolution)
+        self._lift_penalty = float(lift_penalty)
+        self._ndims = ndims
+        self._viscosity = self._U_mean / self._reynolds_number
+
+        super().__init__(
+            dt=dt,
+            adaptive_cfl=adaptive_cfl,
+            step_length=step_length,
+            episode_length=episode_length,
+            ndims=ndims,
+            use_marl=use_marl,
+            dtype=dtype,
+            load_initial_domain=load_initial_domain,
+            load_domain_statistics=load_domain_statistics,
+            randomize_initial_state=randomize_initial_state,
+            enable_actions=enable_actions,
+            differentiable=differentiable,
+        )
+
+        self._debug = debug
+        (self._left_block_idx, self._top_block_idx, self._right_block_idx,
+         self._bottom_block_idx, self._vortex_street_block_idx) = range(5)
+        self._last_control = jnp.zeros((1,), self._dtype)
+        self._sensor_locations = self._get_sensor_locations()
+        self._cylinder_mask = self._get_cylinder_mask()
+
+    # ------------------------------------------------------------------
+    # spaces (cylinder_env_base.py:203-232)
+    # ------------------------------------------------------------------
+    def _get_action_space(self) -> spaces.Box:
+        return spaces.Box(low=-1.0, high=1.0, shape=(1,), dtype=np.float32)
+
+    def _get_observation_space(self) -> spaces.Dict:
+        return spaces.Dict(
+            {
+                "velocity": spaces.Box(
+                    low=-np.inf, high=np.inf,
+                    shape=(self._n_sensors_x_y, self._ndims), dtype=np.float32),
+                "pressure": spaces.Box(
+                    low=-np.inf, high=np.inf,
+                    shape=(self._n_sensors_x_y,), dtype=np.float32),
+            }
+        )
+
+    @property
+    def render_shape(self) -> tuple[int, int, int]:
+        z_res = self._circle_resolution_angular * 4
+        y_res = z_res
+        x_res = int(z_res / self.H * self.L)
+        return (x_res, y_res, z_res)
+
+    @property
+    def n_agents(self) -> int:
+        return 1
+
+    # ------------------------------------------------------------------
+    # domain / simulation (cylinder_env_base.py:247-332)
+    # ------------------------------------------------------------------
+    def _build_domain(self):
+        return make_vortex_street_domain(
+            ndims=self._ndims,
+            viscosity=self._viscosity,
+            domain_height=self.H,
+            domain_length=self.L,
+            cylinder_radius=self.cylinder_diameter / 2,
+            cylinder_offset_y=self.cylinder_offset_y,
+            circle_thickness=self.cylinder_diameter / 2,
+            quad_thickness_x=self.cylinder_diameter,
+            circle_resolution_angular=self._circle_resolution_angular,
+            vortex_street_refinement_base=self._vortex_street_refinement_base,
+            vortex_street_refinement_axes=("+y", "-y"),
+            dtype=self._dtype,
+        )
+
+    def _get_domain(self):
+        dom, self._grid_info = self._build_domain()
+        return dom.build()
+
+    @property
+    def _cd_ref(self) -> float:
+        if "drag" in self._metrics_stats:
+            return self._metrics_stats["drag"].mean
+        return 0.0
+
+    def _get_prep_fn(self) -> Hooks:
+        char_vel = (self._U_mean,) + (0.0,) * (self._ndims - 1)
+        hook = make_convective_outflow_hook(
+            self._geoms, self._topo,
+            out_faces=((self._vortex_street_block_idx, 1),),  # wake "+x"
+            char_vel=char_vel, tol=5e-6,
+        )
+        return {"PRE": (hook,)}
+
+    def _get_simulation(self) -> SimConfig:
+        return SimConfig(
+            dt=self._dt,
+            substeps=ADAPTIVE,
+            adaptive_cfl=self._adaptive_cfl,
+            corrector_steps=2,
+            pressure_tol=1e-5 if self._ndims == 2 else 5e-7,
+            pressure_return_best_result=True,
+            velocity_corrector="FD",
+            non_orthogonal=True,
+        )
+
+    def _additional_initialization(self) -> None:
+        # project the loaded/initial state to divergence free (reference
+        # _get_simulation calls sim.make_divergence_free(), :330)
+        self._state = jax.jit(
+            partial(make_divergence_free, geoms=self._geoms, topo=self._topo,
+                    cfg=self._cfg)
+        )(self._state)
+
+        # resampling plan over all blocks to the uniform render grid
+        gi = self._grid_info if hasattr(self, "_grid_info") else None
+        if gi is None:
+            _, gi = self._build_domain()
+            self._grid_info = gi
+        centers = [np.asarray(jax.device_get(g.centers)) for g in self._geoms]
+        if self._ndims == 2:
+            lower = (gi["x_min"], gi["y_min"])
+            upper = (gi["x_max"], gi["y_max"])
+        else:
+            lower = (gi["x_min"], gi["y_min"], -2.0)
+            upper = (gi["x_max"], gi["y_max"], 2.0)
+        self._resample = make_multiblock_plan(
+            centers, self.render_shape[: self._ndims], lower, upper)
+
+        self._prepare_drag_and_lift()
+        self._last_control = jnp.zeros((1,), self._dtype)
+
+    # ------------------------------------------------------------------
+    # wall geometry + forces (cylinder_env_base.py:548-698)
+    # ------------------------------------------------------------------
+    _WALL_FACES = None  # set in _prepare_drag_and_lift
+
+    def _wall_loop_spec(self):
+        """(block, face, cell_slice, flip) around the cylinder, counter-
+        clockwise closed loop (cylinder_env_base.py:554-606)."""
+        return [
+            (self._left_block_idx, 1, (Ellipsis, slice(None), -1), False),
+            (self._top_block_idx, 2, (Ellipsis, 0, slice(None)), False),
+            (self._right_block_idx, 0, (Ellipsis, slice(None), 0), True),
+            (self._bottom_block_idx, 3, (Ellipsis, -1, slice(None)), True),
+        ]
+
+    def _prepare_drag_and_lift(self) -> None:
+        spec = self._wall_loop_spec()
+        coords_list, centers_list = [], []
+        for i, (b, f, sl, flip) in enumerate(spec):
+            vc = np.asarray(self._blocks_vertex_coords[b])
+            cc = np.asarray(jax.device_get(self._geoms[b].centers))
+            if self._ndims == 3:  # take one z-slice of the wall line
+                vc = vc[:2, 0]
+                cc_line = cc[:2, 0]
+            else:
+                cc_line = cc
+            bc = vc[sl] if self._ndims == 2 else vc[(slice(None),) + sl[1:]]
+            cl = cc_line[sl] if self._ndims == 2 else cc_line[(slice(None),) + sl[1:]]
+            if flip:
+                bc = bc[..., ::-1]
+                cl = cl[..., ::-1]
+            if i != len(spec) - 1:
+                bc = bc[..., :-1]
+            coords_list.append(bc)
+            centers_list.append(cl)
+        cell_coords = np.concatenate(coords_list, axis=-1)   # (2, N+1)
+        cell_centers = np.concatenate(centers_list, axis=-1)  # (2, N)
+
+        cc_left = np.roll(cell_centers, -1, axis=-1)
+        cc_right = np.roll(cell_centers, 1, axis=-1)
+        self._tangent_lengths = jnp.asarray(
+            np.sqrt(((cc_left - cc_right) ** 2).sum(axis=0)), self._dtype)
+
+        d, n = wall_distance_from_vertices(cell_coords, cell_centers)
+        self._wall_distances = jnp.asarray(d, self._dtype)
+        self._wall_normals = jnp.asarray(n, self._dtype)
+        xw, yw = cell_coords[0], cell_coords[1]
+        self._wall_face_lengths = jnp.asarray(
+            np.sqrt((xw[1:] - xw[:-1]) ** 2 + (yw[1:] - yw[:-1]) ** 2), self._dtype)
+
+    @property
+    def _blocks_vertex_coords(self):
+        """Vertex coordinate arrays per block (rebuilt from the static grid)."""
+        if not hasattr(self, "_vertex_coords_cache"):
+            dom, _ = self._build_domain()
+            self._vertex_coords_cache = [b.coords for b in dom._blocks]
+        return self._vertex_coords_cache
+
+    def _collect_wall_fields(self, state: DomainState):
+        """Per-wall-cell (u_cell, u_boundary, p_cell) around the cylinder."""
+        spec = self._wall_loop_spec()
+        u_list, ub_list, p_list = [], [], []
+        for b, f, sl, flip in spec:
+            blk = state.blocks[b]
+            u = blk.velocity[sl]          # (ndims, [Z,] N)
+            p = blk.pressure[sl]
+            ub = blk.faces[f].velocity
+            # squeeze the face axis to match the wall line layout
+            ub = jnp.squeeze(ub, axis=-1 if f // 2 == 0 else (-2 if f // 2 == 1 else -3))
+            if flip:
+                u = jnp.flip(u, axis=-1)
+                p = jnp.flip(p, axis=-1)
+                ub = jnp.flip(ub, axis=-1)
+            u_list.append(u)
+            ub_list.append(ub)
+            p_list.append(p)
+        return (jnp.concatenate(u_list, axis=-1),
+                jnp.concatenate(ub_list, axis=-1),
+                jnp.concatenate(p_list, axis=-1))
+
+    def _pure_drag_lift(self, state: DomainState):
+        """(cd, cl) per z-slice (scalars in 2D); cylinder_env_base.py:657-698."""
+        u_cell, u_b, p_cell = self._collect_wall_fields(state)
+        nu = jnp.asarray(self._viscosity, self._dtype)
+        if self._ndims == 2:
+            forces = compute_forces_2d(
+                u_cell, u_b, p_cell, self._wall_normals, self._tangent_lengths,
+                self._wall_distances, self._wall_face_lengths, nu)
+        else:
+            face_areas = self._wall_face_lengths * (
+                self.D / self._circle_resolution_angular)
+            forces = compute_forces_3d(
+                u_cell, u_b, p_cell, self._wall_normals, self._tangent_lengths,
+                self._wall_distances, face_areas, nu)
+        scale = 0.5 * self._U_mean**2 * self.cylinder_diameter
+        return forces[0] / scale, forces[1] / scale
+
+    # ------------------------------------------------------------------
+    # observations (cylinder_env_base.py:436-546)
+    # ------------------------------------------------------------------
+    def _sensor_locations_to_grid_coords(self, phys: np.ndarray) -> np.ndarray:
+        phys = phys.copy()
+        phys[0] += 2.0
+        phys[0] *= (self.render_shape[0] - 1) / (self.L - 2.0)
+        phys[1] += self.H / 2
+        phys[1] *= (self.render_shape[1] - 1) / self.H
+        if self._ndims == 3:
+            phys[2] += self.H / 2
+            phys[2] *= (self.render_shape[1] - 1) / self.H
+        return np.round(phys).astype(np.int32)
+
+    def _get_sensor_locations(self) -> np.ndarray:
+        return self._sensor_locations_to_grid_coords(self._get_sensor_locations_2d())
+
+    def _get_sensor_locations_2d(self) -> np.ndarray:
+        """151 wake/ring sensor positions (cylinder_env_base.py:457-516)."""
+        x_idx = np.arange(1.0, 5.0, 0.5)
+        y_idx = np.arange(-1.5, 1.75, 0.5)
+        gx, gy = np.meshgrid(x_idx, y_idx, indexing="ij")
+        sensors = np.stack([gx.ravel(), gy.ravel()], axis=0)
+
+        x_1 = np.arange(-0.25, 1, 0.25)
+        y_1a = np.full_like(x_1, -1.5)
+        y_1b = np.full_like(x_1, 1.5)
+        x_2 = np.concatenate([[-0.25], np.arange(0.25, 1.25, 0.25)])
+        y_2a = np.full_like(x_2, self.cylinder_diameter)
+        y_2b = np.full_like(x_2, -self.cylinder_diameter)
+        x_3 = np.full(3, 0.75)
+        y_3 = np.array([-0.5, 0, 0.5])
+        additional = np.stack([
+            np.concatenate([x_1, x_1, x_2, x_2, x_3]),
+            np.concatenate([y_1a, y_1b, y_2a, y_2b, y_3]),
+        ], axis=0)
+
+        angles = np.linspace(0, 2 * np.pi, 36)
+        c1 = np.stack([1.0 * np.cos(angles), 1.0 * np.sin(angles)], axis=0)
+        c2 = np.stack([0.625 * np.cos(angles), 0.625 * np.sin(angles)], axis=0)
+        return np.concatenate([sensors, c1, c2, additional], axis=1)
+
+    def _get_cylinder_mask(self) -> np.ndarray:
+        r = self.cylinder_diameter / 2 * (self.render_shape[1] - 1) / self.H
+        cx = round((self.render_shape[0] - 1) / self.L * 2.0)
+        cy = round((self.render_shape[1] - 1) / self.H * 2.0)
+        Y, X = np.ogrid[: self.render_shape[1], : self.render_shape[0]]
+        mask = np.sqrt((X - cx) ** 2 + (Y - cy) ** 2) <= r
+        if self._ndims == 3:
+            mask = np.repeat(mask[None], self.render_shape[2], axis=0)
+        return mask
+
+    def _pure_global_obs(self, state: DomainState) -> dict[str, Array]:
+        """Velocity/pressure at the 151 sensors via the multi-block resample
+        plan (extract_global_2d_obs, obs_extraction.py:10-57)."""
+        u = self._resample(tuple(b.velocity for b in state.blocks))
+        p = self._resample(tuple(b.pressure for b in state.blocks))
+        sx, sy = self._sensor_locations[0], self._sensor_locations[1]
+        if self._ndims == 2:
+            vel = u[:, sy, sx].T            # (n_sensors, 2)
+            pre = p[sy, sx]
+        else:
+            mid_z = self.render_shape[2] // 2
+            vel = u[:, mid_z, sy, sx].T
+            pre = p[mid_z, sy, sx]
+        return {"velocity": vel, "pressure": pre}
+
+    def _get_global_obs(self) -> dict[str, Array]:
+        return self._pure_global_obs(self._state)
+
+    # ------------------------------------------------------------------
+    # stepping (cylinder_env_base.py:741-776)
+    # ------------------------------------------------------------------
+    @abstractmethod
+    def _pure_apply_action(self, state: DomainState, control: Array) -> DomainState: ...
+
+    def _apply_action(self, action: Array) -> None:
+        self._state = self._pure_apply_action(
+            self._state, jnp.asarray(action, self._dtype))
+
+    def _pure_step(self, carry, action: Array):
+        """Pure env step over ``carry = (DomainState, last_control)``."""
+        dstate, last_control = carry
+        alpha = self._action_smoothing_alpha
+
+        def body(c, _):
+            s, ctrl = c
+            ctrl = ctrl + alpha * (action - ctrl)
+            if self._enable_actions:
+                s = self._pure_apply_action(s, ctrl)
+            s = single_step(s, self._geoms, self._topo, self._cfg, self._hooks)
+            cd, cl = self._pure_drag_lift(s)
+            return (s, ctrl), (cd, cl)
+
+        (dstate, last_control), (cds, cls) = jax.lax.scan(
+            body, (dstate, last_control), None, length=self._n_sim_steps)
+        obs = self._pure_global_obs(dstate)
+        cd_mean = jnp.mean(cds, axis=0)
+        cl_mean = jnp.mean(cls, axis=0)
+        cd = jnp.sum(cd_mean)
+        cl = jnp.sum(cl_mean)
+        reward = self._cd_ref - cd - self._lift_penalty * jnp.abs(cl)
+        info = {"drag": cd_mean, "lift": cl_mean}
+        return (dstate, last_control), obs, reward, info
+
+    def _step_impl(self, action: Array):
+        fn = self._jitted_env_step()
+        (self._state, self._last_control), obs, reward, info = fn(
+            (self._state, self._last_control), action)
+        return obs, reward, False, info
+
+    def _get_drag_and_lift(self):
+        return jax.jit(self._pure_drag_lift)(self._state)
+
+    # ------------------------------------------------------------------
+    # randomization (cylinder_env_base.py:364-404)
+    # ------------------------------------------------------------------
+    def _randomize_domain(self) -> None:
+        strouhal = 0.3
+        period = 1 / (strouhal * self._U_mean / self.cylinder_diameter)
+        max_n = 2 * int(period / self._step_length) - 1
+        n_steps = int(self._np_rng.integers(int(0.5 * max_n), max_n)) + 1
+
+        for b in range(len(self._topo.blocks)):
+            blk = self._state.blocks[b]
+            u = blk.velocity + jnp.asarray(
+                self._np_rng.normal(0, 1, blk.velocity.shape) * 0.025,
+                blk.velocity.dtype)
+            p = blk.pressure + jnp.asarray(
+                self._np_rng.normal(0, 1, blk.pressure.shape) * 0.025,
+                blk.pressure.dtype)
+            self._state = self._state.replace_block(
+                b, replace(blk, velocity=u, pressure=p))
+        for _ in range(n_steps):
+            self._run_single_step()
+
+    # ------------------------------------------------------------------
+    # rendering (cylinder_env_base.py:406-434, 700-739)
+    # ------------------------------------------------------------------
+    def get_velocity(self) -> Array:
+        u = self._resample(tuple(b.velocity for b in self._state.blocks))
+        return jnp.where(jnp.asarray(self._cylinder_mask), 0.0, u)
+
+    def get_pressure(self) -> Array:
+        return self._resample(tuple(b.pressure for b in self._state.blocks))
+
+    def get_vorticity(self) -> Array:
+        """z-vorticity on the render grid (from resampled velocity)."""
+        u = self._resample(tuple(b.velocity for b in self._state.blocks))
+        hx = (self.L - 2.0) / self.render_shape[0]
+        hy = self.H / self.render_shape[1]
+        if self._ndims == 2:
+            dv_dx = jnp.gradient(u[1], hx, axis=-1)
+            du_dy = jnp.gradient(u[0], hy, axis=-2)
+            w = dv_dx - du_dy
+            return jnp.where(jnp.asarray(self._cylinder_mask), 0.0, w)
+        dv_dx = jnp.gradient(u[1], hx, axis=-1)
+        du_dy = jnp.gradient(u[0], hy, axis=-2)
+        w = dv_dx - du_dy
+        return jnp.where(jnp.asarray(self._cylinder_mask), 0.0, w)
+
+    def _get_render_data(self, render_3d: bool, output_path: Path | None = None):
+        vort = np.asarray(jax.device_get(self.get_vorticity()))
+        vmin, vmax = VORTICITY_RENDER_RANGE
+        if self._ndims == 2:
+            img = self._format_render_data(np.flip(vort, -1), v_min=vmin,
+                                           v_max=vmax, cmap="coolwarm")
+            img[self._cylinder_mask] = 0
+            return {"vorticity": img}
+        mid = vort.shape[0] // 2
+        img = self._format_render_data(np.flip(vort[mid], -1), v_min=vmin,
+                                       v_max=vmax, cmap="coolwarm")
+        img[self._cylinder_mask[0]] = 0
+        return {"x-y-vorticity": img}
+
+    # ------------------------------------------------------------------
+    # state / ids (cylinder_env_base.py:822-869)
+    # ------------------------------------------------------------------
+    @property
+    def initial_domain_id(self) -> str:
+        return (f"cylinder_{self._ndims}D_Re{int(self._reynolds_number)}"
+                f"_Res{self._circle_resolution_angular}")
+
+    def _get_additional_state_info(self) -> dict[str, Any]:
+        return {"last_control": self._last_control}
+
+    def _set_additional_state_info(self, info: dict[str, Any]) -> None:
+        if "last_control" in info:
+            self._last_control = info["last_control"]
+
+    def detach(self) -> None:
+        super().detach()
+        self._last_control = jax.lax.stop_gradient(self._last_control)

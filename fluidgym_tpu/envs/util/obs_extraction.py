@@ -53,28 +53,37 @@ def extract_moving_window_2d_x_z(
     agent_width: int,
     n_agents_per_window_x: int,
     n_agents_per_window_z: int,
+    pad_x: int = 0,
+    pad_z: int = 0,
 ) -> Array:
-    """2-axis circular windows for agents tiled over (z, x)
-    (reference obs_extraction.py:255-344).
-
-    ``field (Z, X)``; returns ``(n_agents_z * n_agents_x, window_z, window_x)``
-    with agent order z-major.
+    """Circular windows of PER-AGENT MEANS over a (z, x) agent tiling
+    (reference obs_extraction.py:255-344): the field is reduced to one mean
+    per agent block, rolled by (pad_z, pad_x) agents, and unfolded into
+    [n_agents_x * n_agents_z, Wz, Wx] windows (x-major agent order).
     """
     Z, X = field.shape
     if X != n_agents_x * agent_width or Z != n_agents_z * agent_width:
         raise ValueError("field shape must match agent tiling")
-    wz = n_agents_per_window_z * agent_width
-    wx = n_agents_per_window_x * agent_width
-    pad_z = (n_agents_per_window_z // 2) * agent_width
-    pad_x = (n_agents_per_window_x // 2) * agent_width
-    padded = jnp.pad(field, ((pad_z, pad_z), (pad_x, pad_x)), mode="wrap")
-    out = []
-    for iz in range(n_agents_z):
-        for ix in range(n_agents_x):
-            z0 = iz * agent_width
-            x0 = ix * agent_width
-            out.append(padded[z0 : z0 + wz, x0 : x0 + wx])
-    return jnp.stack(out, axis=0)
+    if not (0 <= pad_x <= n_agents_per_window_x):
+        raise ValueError("pad_x must be in range [0, n_agents_per_window_x]")
+    if not (0 <= pad_z <= n_agents_per_window_z):
+        raise ValueError("pad_z must be in range [0, n_agents_per_window_z]")
+
+    blocks = field.reshape(n_agents_z, agent_width, n_agents_x, agent_width)
+    agent_means = blocks.mean(axis=(1, 3))  # (n_agents_z, n_agents_x)
+    agent_means = jnp.roll(agent_means, (pad_z, pad_x), axis=(0, 1))
+
+    Wz, Wx = n_agents_per_window_z, n_agents_per_window_x
+    # vectorized circular unfold (x-major agent order)
+    ixs = jnp.repeat(jnp.arange(n_agents_x), n_agents_z)
+    izs = jnp.tile(jnp.arange(n_agents_z), n_agents_x)
+
+    def window(iz, ix):
+        z_idx = (iz + jnp.arange(Wz)) % n_agents_z
+        x_idx = (ix + jnp.arange(Wx)) % n_agents_x
+        return agent_means[z_idx][:, x_idx]
+
+    return jax.vmap(window)(izs, ixs)
 
 
 def extract_moving_window_3d(

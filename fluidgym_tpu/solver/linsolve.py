@@ -126,11 +126,21 @@ def cg(
         x, r, p, rs, it, best_x, best_rs = carry
         Ap = matvec(p)
         denom = _vdot(p, Ap).astype(dt)
-        alpha = rs / jnp.where(denom == 0, 1.0, denom)
+        tiny = jnp.asarray(1e-30, dt)
+        alpha = rs / jnp.where(jnp.abs(denom) < tiny, tiny, denom)
         x = _axpy(alpha, p, x)
         r = _axpy(-alpha, Ap, r)
+        # periodic residual recomputation against fp32 drift (reference
+        # residual_reset_step=100 for the pressure solve)
+        recompute = (it + 1) % 100 == 0
+        r = jax.lax.cond(
+            recompute,
+            lambda xx: jax.tree.map(lambda bb, ax: bb - ax, b, matvec(xx)),
+            lambda xx: r,
+            x,
+        )
         rs_new = _vdot(r, r).astype(dt)
-        beta = rs_new / jnp.where(rs == 0, 1.0, rs)
+        beta = rs_new / jnp.where(rs < tiny, tiny, rs)
         p = _scale_add(r, beta, p)
         better = rs_new < best_rs
         best_x = _where(better, x, best_x)
@@ -189,17 +199,18 @@ def bicgstab(
     def body(carry):
         x, r, p, rho, rs, it, best_x, best_rs = carry
         v = matvec(p)
+        tiny = jnp.asarray(1e-30, dt)
         denom = _vdot(r_hat, v).astype(dt)
-        alpha = rho / jnp.where(denom == 0, 1.0, denom)
+        alpha = rho / jnp.where(jnp.abs(denom) < tiny, tiny, denom)
         s = _axpy(-alpha, v, r)
         t = matvec(s)
         tt = _vdot(t, t).astype(dt)
-        omega = _vdot(t, s).astype(dt) / jnp.where(tt == 0, 1.0, tt)
+        omega = _vdot(t, s).astype(dt) / jnp.where(tt < tiny, tiny, tt)
         x = jax.tree.map(lambda xx, pp, ss: xx + alpha * pp + omega * ss, x, p, s)
         r = _axpy(-omega, t, s)
         rho_new = _vdot(r_hat, r).astype(dt)
-        beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * (
-            alpha / jnp.where(omega == 0, 1.0, omega)
+        beta = (rho_new / jnp.where(jnp.abs(rho) < tiny, tiny, rho)) * (
+            alpha / jnp.where(jnp.abs(omega) < tiny, tiny, omega)
         )
         p = jax.tree.map(lambda rr, pp, vv: rr + beta * (pp - omega * vv), r, p, v)
         rs_new = _vdot(r, r).astype(dt)

@@ -78,6 +78,11 @@ class SimConfig:
     pressure_time_step_normalized: bool = False
     velocity_corrector: str = "FD"
     advection_use_bicg: bool = True
+    # BiCGStab for the pressure system: the reference always uses CG
+    # (pressure_use_BiCG=False) with an fp64 fallback crutch; with
+    # non-orthogonal corrections the matrix is mildly non-symmetric and
+    # fp32 CG can stall/diverge, so non-ortho configs default to BiCGStab
+    pressure_use_bicg: bool = False
     advect_passive_scalar: bool = True
     non_orthogonal: bool = False
     max_substeps: int = 1000
@@ -253,7 +258,8 @@ def piso_substep(
         pressures = _solve(
             p_ops, tuple(-d for d in div), topo,
             tol=cfg.pressure_tol, maxiter=cfg.pressure_maxiter,
-            symmetric=True, use_bicg=False,
+            symmetric=not cfg.pressure_use_bicg,
+            use_bicg=cfg.pressure_use_bicg,
             return_best=cfg.pressure_return_best_result,
         )
         if cfg.normalize_pressure_result:

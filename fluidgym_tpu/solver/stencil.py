@@ -344,22 +344,28 @@ def build_advection_ops(
     """
     ndims = topo.ndims
     Cs = _contravariants(state, geoms, topo)
-    alphas = tuple(g.alpha for g in geoms)
+    # per-cell viscosity (alpha * nu products) with the reference semantics:
+    # visc_f = 0.5 * (alpha_P nu_P + alpha_N nu_N) (kernel.cu:3747); nu is
+    # per-cell when a block viscosity field is set (Block.setViscosity)
+    nus = tuple(_block_nu(state, b, nu, for_scalar) for b in range(len(geoms)))
+    alpha_nu = tuple(g.alpha * nus[b][None] if jnp.ndim(nus[b]) else g.alpha * nus[b]
+                     for b, g in enumerate(geoms))
 
     ops = []
     for b, (blk, geom, btopo) in enumerate(zip(state.blocks, geoms, topo.blocks)):
         det = geom.det
         diag = det / dt
+        nu_b = nus[b]
         offs = []
         for f in range(2 * ndims):
             d = face_axis(f)
             spec = btopo.faces[f]
             adv = (0.5 * face_sign(f)) * _face_flux(Cs, state, geoms, topo, b, f)
-            alpha_n = _roll_nbr(geom.alpha[d], f)
+            an_n = _roll_nbr(alpha_nu[b][d], f)
             if spec.kind == BoundKind.CONNECTED:
-                halo_a = _halo_axis_component(alphas, spec, f, ndims)
-                alpha_n = alpha_n.at[_face_slab(alpha_n.ndim, f)].set(halo_a)
-            visc = (0.5 * nu) * (geom.alpha[d] + alpha_n)
+                halo_a = _halo_axis_component(alpha_nu, spec, f, ndims)
+                an_n = an_n.at[_face_slab(an_n.ndim, f)].set(halo_a)
+            visc = 0.5 * (alpha_nu[b][d] + an_n)
             off = adv - visc
             diag_c = adv + visc
             if spec.kind == BoundKind.FIXED:
@@ -371,7 +377,7 @@ def build_advection_ops(
                     spec.scalar_types[scalar_channel] if for_scalar else spec.vel_type
                 )
                 wall = (
-                    (2.0 * nu) * geom.alpha[d][slab]
+                    2.0 * alpha_nu[b][d][slab]
                     if bctype == BCType.DIRICHLET
                     else jnp.zeros_like(geom.alpha[d][slab])
                 )
@@ -380,6 +386,14 @@ def build_advection_ops(
             offs.append(off / det)
         ops.append(StencilOp(diag=diag / det, off=jnp.stack(offs, axis=0)))
     return tuple(ops)
+
+
+def _block_nu(state: DomainState, b: int, nu, for_scalar: bool):
+    """Effective viscosity for block b: the per-cell field when set (velocity
+    only), else the passed scalar."""
+    if not for_scalar and state.blocks[b].viscosity is not None:
+        return state.blocks[b].viscosity
+    return nu
 
 
 def _boundary_rhs_terms(
@@ -406,11 +420,12 @@ def _boundary_rhs_terms(
         vals = values_fn(f)  # (C, *slab)
         bflux = _boundary_flux(blk, geom, btopo, f) * face_sign(f)
         alpha_b = _slab(geom.alpha[d], f)
+        nu_slab = _slab(nu, f) if jnp.ndim(nu) else nu
         term = -vals * bflux  # advective boundary source
         if bctype_fn(f) == BCType.DIRICHLET:
-            term = term + vals * (2.0 * nu) * alpha_b
+            term = term + vals * (2.0 * nu_slab) * alpha_b
         elif neumann_source:
-            term = term + vals * nu
+            term = term + vals * nu_slab
         if out is None:
             out = jnp.zeros(vals.shape[: -len(btopo.shape)] + btopo.shape, term.dtype)
         out = out.at[
@@ -432,9 +447,9 @@ def advection_rhs_velocity(
     """RHS of the velocity prediction system per block
     (kPISO_build_advection_RHS)."""
     out = []
-    for blk, geom, btopo in zip(state.blocks, geoms, topo.blocks):
+    for b, (blk, geom, btopo) in enumerate(zip(state.blocks, geoms, topo.blocks)):
         bterms = _boundary_rhs_terms(
-            blk, geom, btopo, nu,
+            blk, geom, btopo, _block_nu(state, b, nu, False),
             values_fn=lambda f, _b=blk: _b.faces[f].velocity,
             bctype_fn=lambda f, _t=btopo: _t.faces[f].vel_type,
         )
@@ -520,7 +535,7 @@ def pressure_rhs_vec(
     out = []
     for b, (blk, geom, btopo) in enumerate(zip(state.blocks, geoms, topo.blocks)):
         bterms = _boundary_rhs_terms(
-            blk, geom, btopo, nu,
+            blk, geom, btopo, _block_nu(state, b, nu, False),
             values_fn=lambda f, _b=blk: _b.faces[f].velocity,
             bctype_fn=lambda f, _t=btopo: _t.faces[f].vel_type,
         )

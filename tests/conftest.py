@@ -7,7 +7,11 @@ dry-run does.  Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the axon TPU plugin registers itself via sitecustomize and can
+# override JAX_PLATFORMS; clearing PALLAS_AXON_POOL_IPS prevents registration
+# in subprocesses, and setting JAX_PLATFORMS forcibly keeps this process on
+# the host CPU backend (the TPU is single-tenant; tests must not claim it).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

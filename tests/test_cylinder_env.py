@@ -1,0 +1,74 @@
+"""Cylinder environment contract tests (small configs; physics validation
+runs offline on TPU -- Strouhal/Cd checks live in the bench harness)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fluidgym_tpu
+
+DEV_KW = dict(
+    resolution=16,
+    load_initial_domain=False,
+    load_domain_statistics=False,
+    randomize_initial_state=False,
+    episode_length=3,
+    step_length=0.02,
+    dt=0.01,
+)
+
+
+@pytest.fixture(scope="module")
+def jet_env():
+    return fluidgym_tpu.make("CylinderJet2D-easy-v0", **DEV_KW)
+
+
+def test_cylinder_registry():
+    ids = fluidgym_tpu.registry.ids()
+    for want in ("CylinderJet2D-easy-v0", "CylinderJet2D-hard-v0",
+                 "CylinderRot2D-easy-v0", "CylinderRot2D-medium-v0"):
+        assert want in ids
+
+
+def test_jet_contract(jet_env):
+    env = jet_env
+    obs, info = env.reset(seed=0)
+    assert set(obs) == {"velocity", "pressure"}
+    assert obs["velocity"].shape == (151, 2)
+    assert obs["pressure"].shape == (151,)
+    a = env.sample_action()
+    obs, reward, te, tr, info = env.step(a)
+    assert np.isfinite(float(np.asarray(reward)))
+    for k in ("drag", "lift"):
+        assert k in info
+        assert np.isfinite(float(np.asarray(info[k])))
+    # impulsively-started flow: drag must be positive
+    assert float(np.asarray(info["drag"])) > 0
+
+
+def test_jet_action_changes_flow(jet_env):
+    env = jet_env
+    env.reset(seed=1)
+    snap = env.get_state()
+    _, r0, *_ = env.step(jnp.zeros((1,)))
+    env.set_state(snap)
+    _, r1, *_ = env.step(jnp.ones((1,)))
+    assert not np.isclose(float(np.asarray(r0)), float(np.asarray(r1)))
+
+
+def test_rot_env_steps():
+    env = fluidgym_tpu.make("CylinderRot2D-easy-v0", **DEV_KW)
+    obs, _ = env.reset(seed=0)
+    obs, reward, te, tr, info = env.step(env.sample_action())
+    assert np.isfinite(float(np.asarray(reward)))
+
+
+def test_divergence_free_after_init(jet_env):
+    from fluidgym_tpu.solver import stencil as st
+
+    env = jet_env
+    env.reset(seed=2)
+    divs = st.velocity_divergence(env._state, env._geoms, env._topo)
+    for d in divs:
+        assert np.isfinite(np.asarray(d)).all()

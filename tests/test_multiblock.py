@@ -112,3 +112,41 @@ def test_pressure_gradient_across_seam():
     h = 2 * np.pi / n
     assert np.allclose(g[0], np.cos(X) * np.cos(Y), atol=0.1)
     assert np.allclose(g[1], -np.sin(X) * np.sin(Y), atol=0.1)
+
+
+def _two_block_box_rotated(n, nu=0.02):
+    """Split box whose right half is stored rotated by 180 degrees: both
+    connections are same-side with inverted tangential axes -- the pattern the
+    cylinder O-grid seams use (reference grid.py:382-395)."""
+    L = 2 * np.pi
+    dom = DomainBuilder(ndims=2, viscosity=nu)
+    left_coords = geo.make_uniform_grid((n // 2, n), (0, 0), (L / 2, L))
+    right_coords = geo.make_uniform_grid((n // 2, n), (L / 2, 0), (L, L))
+    right_rot = right_coords[:, ::-1, ::-1].copy()  # 180-degree rotation
+    left = dom.create_block(left_coords)
+    right = dom.create_block(right_rot)
+    vel = _taylor_green(n)
+    left.set_velocity(vel[:, :, : n // 2])
+    # rotate the right-half field to the block's rotated frame
+    right.set_velocity(vel[:, :, n // 2 :][:, ::-1, ::-1].copy())
+    # seam: left "+x" <-> right "+x" (same side, tangential inverted)
+    dom.connect_blocks(0, "+x", 1, "+x", "+y")
+    # wrap: left "-x" <-> right "-x"
+    dom.connect_blocks(0, "-x", 1, "-x", "+y")
+    return dom.build()
+
+
+def test_rotated_connection_matches_single_block():
+    n, nu = 32, 0.02
+    topo1, geoms1, state1 = _single_block_box(n, nu)
+    topo2, geoms2, state2 = _two_block_box_rotated(n, nu)
+    cfg = SimConfig(pressure_tol=1e-7, advection_tol=1e-7)
+    dt = jnp.asarray(0.05, jnp.float32)
+
+    out1 = jax.jit(lambda s: piso_fixed_steps(s, geoms1, topo1, cfg, dt, 5))(state1)
+    out2 = jax.jit(lambda s: piso_fixed_steps(s, geoms2, topo2, cfg, dt, 5))(state2)
+
+    u1 = np.asarray(out1.blocks[0].velocity)
+    u_right = np.asarray(out2.blocks[1].velocity)[:, ::-1, ::-1]  # unrotate
+    u2 = np.concatenate([np.asarray(out2.blocks[0].velocity), u_right], axis=-1)
+    np.testing.assert_allclose(u2, u1, atol=5e-4)

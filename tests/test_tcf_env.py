@@ -1,0 +1,77 @@
+"""TCF environment contract tests (tiny channel; CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fluidgym_tpu
+
+DEV_KW = dict(
+    resolution_y=17,
+    resolution_x_z=16,
+    actor_size=4,
+    load_initial_domain=False,
+    load_domain_statistics=False,
+    randomize_initial_state=False,
+    episode_length=3,
+    step_length=0.6,
+)
+
+
+def test_tcf_registry():
+    ids = fluidgym_tpu.registry.ids()
+    assert len([i for i in ids if i.startswith("TCF")]) == 12
+    assert "TCFSmall3D-bottom-easy-v0" in ids
+    assert "TCFLarge3D-both-hard-v0" in ids
+    assert len(ids) == 30  # 12 RBC + 6 cylinder + 12 TCF so far
+
+
+@pytest.fixture(scope="module")
+def tcf_env():
+    return fluidgym_tpu.make("TCFSmall3D-bottom-easy-v0", use_marl=False, **DEV_KW)
+
+
+def test_tcf_sarl_contract(tcf_env):
+    env = tcf_env
+    obs, info = env.reset(seed=0)
+    assert obs["velocity"].shape == (2, 16, 16)
+    assert obs["pressure"].shape == (16, 16)
+    a = env.sample_action()
+    obs, reward, te, tr, info = env.step(a)
+    assert np.isfinite(float(np.asarray(reward)))
+    for k in env.metrics:
+        assert k in info and np.isfinite(float(np.asarray(info[k])))
+    # bottom wall stress should be positive for streamwise channel flow
+    assert float(np.asarray(info["wall_stress_bottom"])) > 0
+
+
+def test_tcf_marl_contract():
+    env = fluidgym_tpu.make("TCFSmall3D-bottom-easy-v0", use_marl=True,
+                            local_obs_window=3, **DEV_KW)
+    obs, _ = env.reset(seed=0)
+    assert env.n_agents == (16 // 4) ** 2
+    assert obs["velocity"].shape == (env.n_agents, 3, 3, 2)
+    assert obs["pressure"].shape == (env.n_agents, 3, 3)
+    actions = env.sample_action()
+    obs, rewards, te, tr, info = env.step(actions)
+    assert rewards.shape == (env.n_agents,)
+    assert "global_reward" in info
+
+
+def test_tcf_both_env():
+    env = fluidgym_tpu.make("TCFSmall3D-both-easy-v0", use_marl=True,
+                            local_obs_window=1, **DEV_KW)
+    obs, _ = env.reset(seed=1)
+    assert env.n_agents == 2 * (16 // 4) ** 2
+    assert obs["pressure"].shape[0] == env.n_agents
+    actions = env.sample_action()
+    obs, rewards, te, tr, info = env.step(actions)
+    assert rewards.shape == (env.n_agents,)
+
+
+def test_tcf_smagorinsky_runs():
+    env = fluidgym_tpu.make("TCFSmall3D-bottom-easy-v0", use_marl=False,
+                            C_smag=0.1, use_van_driest=True, **DEV_KW)
+    obs, _ = env.reset(seed=0)
+    obs, reward, *_ = env.step(env.sample_action())
+    assert np.isfinite(float(np.asarray(reward)))
