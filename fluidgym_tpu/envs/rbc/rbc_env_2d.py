@@ -131,7 +131,9 @@ class RBCEnv2D(RBCEnvBase):
         T = blk.scalar[0]       # [Y, X]
         u_y = blk.velocity[1]   # [Y, X]
         cell_size = self._geoms[0].det
-        local_cell = cell_size[:, : self._local_obs_window * self._heater_width]
+        w = self._local_obs_window * self._heater_width
+        reps = -(-w // cell_size.shape[1])  # wrap when the window exceeds X
+        local_cell = jnp.tile(cell_size, (1, reps))[:, :w]
         local_T = extract_moving_window_2d(
             T, self.n_agents, self._heater_width, self._local_obs_window)
         local_uy = extract_moving_window_2d(

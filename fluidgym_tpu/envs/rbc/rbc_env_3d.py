@@ -139,7 +139,9 @@ class RBCEnv3D(RBCEnvBase):
         u_y = blk.velocity[1]
         cell_size = self._geoms[0].det
         w = self._local_obs_window * self._heater_width
-        local_cell = cell_size[:w, :, :w]
+        reps = -(-w // cell_size.shape[0])  # wrap when the window exceeds Z/X
+        tiled = jnp.tile(cell_size, (reps, 1, reps))
+        local_cell = tiled[:w, :, :w]
         local_T = extract_moving_window_3d(
             T, self._n_heaters, self._heater_width, self._local_obs_window)
         local_uy = extract_moving_window_3d(

@@ -234,9 +234,19 @@ def deferred_rhs(
     bval_fn: Callable[[int, int], Array] | None = None,
     scalar_channel: int = 0,
     boundary_visc: Array | float = 1.0,
+    include_direct: bool = False,
 ) -> BlockVec:
-    """NON_ORTHO_DIAGONAL_RHS deferred correction ``S`` per block
-    (getNonOrthoLaplaceRHS_v2 with includeDepth1=False).
+    """Deferred non-orthogonal correction ``S`` per block
+    (getNonOrthoLaplaceRHS_v2).
+
+    ``include_direct=False`` -> NON_ORTHO_DIAGONAL_RHS only (diagonal corner
+    cells; used together with the DIRECT/CENTER matrix terms).
+    ``include_direct=True`` -> DIRECT_RHS | DIAGONAL_RHS: the FULL cross
+    coupling is deferred (corner value = (nbr_f + nbr_tf + diag)/4,
+    includeDepth1=True in getCornerValue) and the matrix stays purely
+    orthogonal -- this keeps the pressure system exactly SPD for CG (the
+    OpenFOAM-style non-orthogonal corrector; the reference's matrix variant
+    makes the system mildly non-symmetric, which fp32 CG cannot digest).
 
     ``xs``: per-block (*s) previous-iterate field (one component).
     ``bval_fn(b, f) -> (*slab)`` prescribed boundary values (None for
@@ -264,6 +274,11 @@ def deferred_rhs(
                     tf = 2 * t + tu
                     tf_other = tf ^ 1
                     corner = 0.25 * _diagonal_value(xs, b, f, tf, topo)
+                    if include_direct:
+                        corner = corner + 0.25 * (
+                            _neighbor_field(xs, b, f, topo)
+                            + _neighbor_field(xs, b, tf, topo)
+                        )
                     if btopo.faces[tf].kind == BoundKind.FIXED:
                         slab = _face_slab(corner.ndim, tf)
                         if (
@@ -280,13 +295,18 @@ def deferred_rhs(
                             corner = corner.at[slab].set(0.0)
                             tgrad = tgrad.at[slab].add(face_sign(tf) * cv[slab])
                         else:
-                            # gradient corner: one-sided via the OTHER
-                            # corner's diagonal (kernel.cu:3180-3196)
-                            other_diag = 0.25 * _diagonal_value(xs, b, f, tf_other, topo)
+                            # gradient corner: one-sided treatment
+                            # (kernel.cu:3180-3196)
+                            repl = jnp.zeros_like(tgrad)
+                            diag_o = 0.25 * _diagonal_value(xs, b, f, tf_other, topo)
+                            repl = repl + face_sign(tf_other) * diag_o
+                            if include_direct:
+                                nbr_f = _neighbor_field(xs, b, f, topo)
+                                nbr_to = _neighbor_field(xs, b, tf_other, topo)
+                                repl = repl + face_sign(tf) * 0.75 * nbr_f
+                                repl = repl + face_sign(tf_other) * 0.25 * nbr_to
                             corner = corner.at[slab].set(0.0)
-                            tgrad = tgrad.at[slab].add(
-                                face_sign(tf_other) * other_diag[slab]
-                            )
+                            tgrad = tgrad.at[slab].add(repl[slab])
                     tgrad = tgrad + face_sign(tf) * corner
                 contrib = face_sign(f) * fa * tgrad
                 if f_fixed:

@@ -234,12 +234,11 @@ def piso_substep(
 
     # ---- corrector loop (PISOtorch_simulation.py:1777-1972) ---------------
     adiags = tuple(op.diag for op in adv_ops)
+    # the pressure matrix stays purely orthogonal (exactly SPD -> CG-safe);
+    # ALL non-orthogonal pressure coupling is deferred to the RHS below
     p_ops = st.build_pressure_ops(adiags, geoms, topo)
     if cfg.non_orthogonal:
         inv_a = tuple(1.0 / a for a in adiags)
-        p_ops = nonortho.apply_matrix_terms(
-            p_ops, geoms, topo, inv_a, det_divide=False, field="pressure"
-        )
     pressures = tuple(blk.pressure for blk in state.blocks)
     for _ in range(cfg.corrector_steps):
         hbyA = st.pressure_rhs_vec(state, geoms, topo, adv_ops, u_star, nu, dt)
@@ -248,7 +247,8 @@ def piso_substep(
             # deferred pressure correction from the previous pressure iterate
             # (k_pressureRHSaddNonOrthoComponents, kernel.cu:5471-5492)
             Sp = nonortho.deferred_rhs(
-                pressures, geoms, topo, inv_a, field="pressure"
+                pressures, geoms, topo, inv_a, field="pressure",
+                include_direct=True,
             )
             div = tuple(d + s for d, s in zip(div, Sp))
         if cfg.pressure_time_step_normalized:

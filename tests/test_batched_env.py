@@ -15,6 +15,7 @@ DEV_KW = dict(
     dt=0.05,
     n_heaters=4,
     resolution=4,
+    local_obs_window=3,
 )
 
 
