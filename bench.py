@@ -1,96 +1,138 @@
-"""Benchmark: batched RBC2D env physics steps/sec on TPU.
+"""Benchmark: batched 2D cylinder env steps/sec on TPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Flagship measurement for round 1: full-fidelity RBC2D-easy environment
-physics (96x61 wall-refined grid, dt=0.05, step_length=1.0 => 20 adaptive
-PISO steps with 2 pressure corrections each, pressure tol 1e-5), batch 64 via
-vmap on one TPU chip.
+Flagship measurement (BASELINE.md north star): full-fidelity
+CylinderJet2D-easy environment physics -- 5-block curvilinear O-grid + wake
+(~14k cells at angular resolution 24), dt=1e-2, step_length=0.25 => 25
+adaptive PISO steps per env step with 2 Jacobi-PCG pressure corrections each,
+non-orthogonal deferred corrections, convective outflow -- batch 64 via vmap
+on one TPU chip, RL stepping path (warm-started solves), measured at
+DEVELOPED flow (the state an RL training loop actually runs in, not the
+cheap near-reset transient).
 
-``vs_baseline``: the BASELINE.md north-star is ">=50x CPU-reference env
-steps/sec".  The CUDA/torch reference cannot run here, so the denominator is
-this framework's own single-env CPU throughput (same physics, same JAX code on
-the host CPU backend) times 50: vs_baseline >= 1.0 means the 50x-over-CPU
-target is met.
+The flow is developed with short (5-sim-step) device calls first: the
+impulsive-start transient needs many CFL substeps + Krylov iterations and a
+single 25-sim-step batched device call during it can exceed the TPU runtime's
+per-call watchdog.
+
+``vs_baseline``: the target is ">=50x CPU-reference env steps/sec".  The
+CUDA/torch reference cannot run here, so the denominator is this framework's
+own single-env CPU throughput (same physics, same code on the host CPU
+backend) times 50: vs_baseline >= 1.0 means the 50x-over-CPU target is met.
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
-import numpy as np
+BATCH = 64
+N_MEASURE = 10
+WARM_SHORT_CALLS = 100   # 5 sim steps each -> t = 5
+WARM_LONG_CALLS = 60     # 25 sim steps each -> t = 20 (shedding developing)
+ENV_KW = dict(
+    load_initial_domain=False,
+    load_domain_statistics=False,
+    randomize_initial_state=False,
+    episode_length=10**9,
+)
 
 
-def _build(batch: int | None, device):
+def _build(batch, step_length=None):
     import jax
     import jax.numpy as jnp
 
-    from fluidgym_tpu.solver.piso import single_step
+    import fluidgym_tpu
 
-    import __graft_entry__ as ge
-
-    # full-size RBC2D-easy physics: n_heaters=12, resolution=8 -> 96 x 61
-    topo, geoms, state, cfg, _ = ge._tiny_rbc(n_heaters=12, resolution=8)
-    from dataclasses import replace as dreplace
-
-    cfg = dreplace(cfg, substeps=-1, adaptive_cfl=0.8)  # ADAPTIVE like the env
-    hooks = ge._buoyancy_hooks()
-    n_sim_steps = 20  # step_length / dt
-
-    geoms = jax.device_put(geoms, device)
-
-    def env_step(s):
-        def body(ss, _):
-            return single_step(ss, geoms, topo, cfg, hooks), None
-
-        out, _ = jax.lax.scan(body, s, None, length=n_sim_steps)
-        return out
+    kw = dict(ENV_KW)
+    if step_length is not None:
+        kw["step_length"] = step_length
+    env = fluidgym_tpu.make("CylinderJet2D-easy-v0", **kw)
+    env.reset(seed=0)
+    state = (env._state, env._last_control)
+    action = jnp.zeros((1,), jnp.float32)
 
     if batch is None:
-        fn = jax.jit(env_step, device=device)
-        st = jax.device_put(state, device)
-    else:
-        fn = jax.jit(jax.vmap(env_step), device=device)
-        st = jax.device_put(
-            jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), state),
-            device,
-        )
-    return fn, st
+        return jax.jit(env._pure_step), state, action
+
+    bstate = jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), state)
+    bact = jnp.zeros((batch, 1), jnp.float32)
+    return jax.jit(jax.vmap(env._pure_step)), bstate, bact
 
 
-def _measure(fn, state, n_iters: int) -> float:
+def _run(fn, state, action, iters):
     import jax
 
-    state = fn(state)  # compile + warmup
+    for _ in range(iters):
+        state, *_ = fn(state, action)
+    jax.block_until_ready(state)
+    return state
+
+
+def _measure(fn, state, action, iters):
+    import jax
+
+    state, *_ = fn(state, action)  # compile
     jax.block_until_ready(state)
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state = fn(state)
-    jax.block_until_ready(state)
-    return (time.perf_counter() - t0) / n_iters
+    state = _run(fn, state, action, iters)
+    return (time.perf_counter() - t0) / iters, state
+
+
+def _cpu_single_env_steps_per_sec() -> float:
+    """Single-env CPU throughput, measured in a subprocess on the host CPU
+    backend (the TPU plugin is process-global)."""
+    code = r"""
+import json, time
+import bench
+fn, state, action = bench._build(None)
+# short warmup past the cheapest near-reset steps (kept small: CPU is slow)
+state = bench._run(fn, state, action, iters=2)
+t0 = time.perf_counter()
+state = bench._run(fn, state, action, iters=2)
+print(json.dumps({"dt": (time.perf_counter() - t0) / 2}))
+"""
+    env = {"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": "/root/repo"}
+    import os
+
+    full_env = dict(os.environ)
+    full_env.update(env)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=full_env, timeout=3600,
+                         cwd="/root/repo")
+    for line in out.stdout.splitlines()[::-1]:
+        try:
+            return 1.0 / json.loads(line)["dt"]
+        except Exception:
+            continue
+    return float("nan")
 
 
 def main() -> None:
     import jax
 
-    batch = 64
-    accel = jax.devices()[0]
-    fn, st = _build(batch, accel)
-    dt_accel = _measure(fn, st, n_iters=3)
-    steps_per_sec = batch / dt_accel
+    # develop the flow: short calls through the impulsive transient, then
+    # full-length calls; the two envs share the same domain/state pytree
+    fn_short, state, action = _build(BATCH, step_length=0.05)
+    state = _run(fn_short, state, action, WARM_SHORT_CALLS)
+    fn_full, _, _ = _build(BATCH)
+    state = _run(fn_full, state, action, WARM_LONG_CALLS)
+
+    dt_accel, _ = _measure(fn_full, state, action, N_MEASURE)
+    steps_per_sec = BATCH / dt_accel
 
     try:
-        cpu = jax.devices("cpu")[0]
-        fn_cpu, st_cpu = _build(None, cpu)
-        dt_cpu = _measure(fn_cpu, st_cpu, n_iters=1)
-        cpu_steps_per_sec = 1.0 / dt_cpu
-        vs_baseline = steps_per_sec / (50.0 * cpu_steps_per_sec)
+        cpu_sps = _cpu_single_env_steps_per_sec()
+        vs_baseline = steps_per_sec / (50.0 * cpu_sps)
     except Exception:
         vs_baseline = float("nan")
 
     print(json.dumps({
-        "metric": "rbc2d_env_steps_per_sec_batch64",
+        "metric": "cylinder2d_env_steps_per_sec_batch64",
         "value": round(float(steps_per_sec), 3),
         "unit": "env_steps/s",
         "vs_baseline": round(float(vs_baseline), 3),

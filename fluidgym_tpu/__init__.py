@@ -27,6 +27,12 @@ if not _os.environ.get("FLUIDGYM_TPU_NO_COMPILE_CACHE"):
     )
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# Full fp32 for dot/einsum: on TPU the default matmul precision truncates
+# fp32 operands to bfloat16, which destabilizes the Krylov inner products and
+# metric-tensor contractions (NaN blow-ups at developed flow).  The solver's
+# einsums are a negligible share of its FLOPs, so this costs nothing.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from fluidgym_tpu.config import config
 from fluidgym_tpu.registry import make, register, registry
 

@@ -54,8 +54,10 @@ _register_rbc()
 def _register_cylinder() -> None:
     from fluidgym_tpu.envs.cylinder import (
         CYLINDER_JET_2D_DEFAULT_CONFIG,
+        CYLINDER_JET_3D_DEFAULT_CONFIG,
         CYLINDER_ROT_2D_DEFAULT_CONFIG,
         CylinderJetEnv2D,
+        CylinderJetEnv3D,
         CylinderRotEnv2D,
     )
 
@@ -66,6 +68,13 @@ def _register_cylinder() -> None:
              CYLINDER_JET_2D_DEFAULT_CONFIG, reynolds_number=250, resolution=32)
     register("CylinderJet2D-hard-v0", CylinderJetEnv2D,
              CYLINDER_JET_2D_DEFAULT_CONFIG, reynolds_number=500, resolution=32)
+    # 3D cylinder (reference __init__.py:78-101)
+    register("CylinderJet3D-easy-v0", CylinderJetEnv3D,
+             CYLINDER_JET_3D_DEFAULT_CONFIG, reynolds_number=100, resolution=24)
+    register("CylinderJet3D-medium-v0", CylinderJetEnv3D,
+             CYLINDER_JET_3D_DEFAULT_CONFIG, reynolds_number=250, resolution=32)
+    register("CylinderJet3D-hard-v0", CylinderJetEnv3D,
+             CYLINDER_JET_3D_DEFAULT_CONFIG, reynolds_number=500, resolution=48)
     register("CylinderRot2D-easy-v0", CylinderRotEnv2D,
              CYLINDER_ROT_2D_DEFAULT_CONFIG, reynolds_number=100, resolution=24)
     register("CylinderRot2D-medium-v0", CylinderRotEnv2D,
@@ -98,3 +107,29 @@ def _register_tcf() -> None:
 
 
 _register_tcf()
+
+
+def _register_airfoil() -> None:
+    from fluidgym_tpu.envs.airfoil import (
+        AIRFOIL_2D_DEFAULT_CONFIG,
+        AIRFOIL_3D_DEFAULT_CONFIG,
+        AirfoilEnv2D,
+        AirfoilEnv3D,
+    )
+
+    # (reference __init__.py:306-352)
+    register("Airfoil2D-easy-v0", AirfoilEnv2D, AIRFOIL_2D_DEFAULT_CONFIG,
+             reynolds_number=1e3)
+    register("Airfoil2D-medium-v0", AirfoilEnv2D, AIRFOIL_2D_DEFAULT_CONFIG,
+             reynolds_number=3e3)
+    register("Airfoil2D-hard-v0", AirfoilEnv2D, AIRFOIL_2D_DEFAULT_CONFIG,
+             reynolds_number=5e3)
+    register("Airfoil3D-easy-v0", AirfoilEnv3D, AIRFOIL_3D_DEFAULT_CONFIG,
+             reynolds_number=1e3)
+    register("Airfoil3D-medium-v0", AirfoilEnv3D, AIRFOIL_3D_DEFAULT_CONFIG,
+             reynolds_number=3e3)
+    register("Airfoil3D-hard-v0", AirfoilEnv3D, AIRFOIL_3D_DEFAULT_CONFIG,
+             reynolds_number=5e3)
+
+
+_register_airfoil()

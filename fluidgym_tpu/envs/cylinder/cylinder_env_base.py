@@ -38,12 +38,8 @@ from fluidgym_tpu.core import geometry as geo
 from fluidgym_tpu.core.domain import DomainState
 from fluidgym_tpu.envs.cylinder.grid import make_vortex_street_domain
 from fluidgym_tpu.envs.fluid_env import FluidEnv, Stats
-from fluidgym_tpu.envs.util.forces import (
-    compute_forces_2d,
-    compute_forces_3d,
-    wall_distance_from_vertices,
-)
 from fluidgym_tpu.envs.util.multiblock_resample import make_multiblock_plan
+from fluidgym_tpu.envs.util.wall_forces import WallForcesMixin
 from fluidgym_tpu.solver.boundaries import make_convective_outflow_hook
 from fluidgym_tpu.solver.piso import ADAPTIVE, Hooks, SimConfig, make_divergence_free, single_step
 
@@ -52,7 +48,7 @@ Array = jax.Array
 VORTICITY_RENDER_RANGE = (-10, 10)
 
 
-class CylinderEnvBase(FluidEnv):
+class CylinderEnvBase(WallForcesMixin, FluidEnv):
     """Abstract base class for cylinder flow environments."""
 
     _default_render_key: str = "vorticity"
@@ -114,7 +110,7 @@ class CylinderEnvBase(FluidEnv):
         self._debug = debug
         (self._left_block_idx, self._top_block_idx, self._right_block_idx,
          self._bottom_block_idx, self._vortex_street_block_idx) = range(5)
-        self._last_control = jnp.zeros((1,), self._dtype)
+        self._last_control = jnp.zeros(self._control_shape, self._dtype)
         self._sensor_locations = self._get_sensor_locations()
         self._cylinder_mask = self._get_cylinder_mask()
 
@@ -146,6 +142,12 @@ class CylinderEnvBase(FluidEnv):
     @property
     def n_agents(self) -> int:
         return 1
+
+    @property
+    def _control_shape(self) -> tuple[int, ...]:
+        """Shape of the smoothed control carried across sim steps (matches the
+        full stacked action shape; overridden by multi-jet envs)."""
+        return (1,)
 
     # ------------------------------------------------------------------
     # domain / simulation (cylinder_env_base.py:247-332)
@@ -195,6 +197,7 @@ class CylinderEnvBase(FluidEnv):
             pressure_return_best_result=True,
             velocity_corrector="FD",
             non_orthogonal=True,
+            differentiable=self._differentiable,
         )
 
     def _additional_initialization(self) -> None:
@@ -221,7 +224,7 @@ class CylinderEnvBase(FluidEnv):
             centers, self.render_shape[: self._ndims], lower, upper)
 
         self._prepare_drag_and_lift()
-        self._last_control = jnp.zeros((1,), self._dtype)
+        self._last_control = jnp.zeros(self._control_shape, self._dtype)
 
     # ------------------------------------------------------------------
     # wall geometry + forces (cylinder_env_base.py:548-698)
@@ -238,40 +241,13 @@ class CylinderEnvBase(FluidEnv):
             (self._bottom_block_idx, 3, (Ellipsis, -1, slice(None)), True),
         ]
 
-    def _prepare_drag_and_lift(self) -> None:
-        spec = self._wall_loop_spec()
-        coords_list, centers_list = [], []
-        for i, (b, f, sl, flip) in enumerate(spec):
-            vc = np.asarray(self._blocks_vertex_coords[b])
-            cc = np.asarray(jax.device_get(self._geoms[b].centers))
-            if self._ndims == 3:  # take one z-slice of the wall line
-                vc = vc[:2, 0]
-                cc_line = cc[:2, 0]
-            else:
-                cc_line = cc
-            bc = vc[sl] if self._ndims == 2 else vc[(slice(None),) + sl[1:]]
-            cl = cc_line[sl] if self._ndims == 2 else cc_line[(slice(None),) + sl[1:]]
-            if flip:
-                bc = bc[..., ::-1]
-                cl = cl[..., ::-1]
-            if i != len(spec) - 1:
-                bc = bc[..., :-1]
-            coords_list.append(bc)
-            centers_list.append(cl)
-        cell_coords = np.concatenate(coords_list, axis=-1)   # (2, N+1)
-        cell_centers = np.concatenate(centers_list, axis=-1)  # (2, N)
+    @property
+    def _wall_dz(self) -> float:
+        return self.D / self._circle_resolution_angular
 
-        cc_left = np.roll(cell_centers, -1, axis=-1)
-        cc_right = np.roll(cell_centers, 1, axis=-1)
-        self._tangent_lengths = jnp.asarray(
-            np.sqrt(((cc_left - cc_right) ** 2).sum(axis=0)), self._dtype)
-
-        d, n = wall_distance_from_vertices(cell_coords, cell_centers)
-        self._wall_distances = jnp.asarray(d, self._dtype)
-        self._wall_normals = jnp.asarray(n, self._dtype)
-        xw, yw = cell_coords[0], cell_coords[1]
-        self._wall_face_lengths = jnp.asarray(
-            np.sqrt((xw[1:] - xw[:-1]) ** 2 + (yw[1:] - yw[:-1]) ** 2), self._dtype)
+    @property
+    def _force_scale(self) -> float:
+        return 0.5 * self._U_mean**2 * self.cylinder_diameter
 
     @property
     def _blocks_vertex_coords(self):
@@ -280,45 +256,6 @@ class CylinderEnvBase(FluidEnv):
             dom, _ = self._build_domain()
             self._vertex_coords_cache = [b.coords for b in dom._blocks]
         return self._vertex_coords_cache
-
-    def _collect_wall_fields(self, state: DomainState):
-        """Per-wall-cell (u_cell, u_boundary, p_cell) around the cylinder."""
-        spec = self._wall_loop_spec()
-        u_list, ub_list, p_list = [], [], []
-        for b, f, sl, flip in spec:
-            blk = state.blocks[b]
-            u = blk.velocity[sl]          # (ndims, [Z,] N)
-            p = blk.pressure[sl]
-            ub = blk.faces[f].velocity
-            # squeeze the face axis to match the wall line layout
-            ub = jnp.squeeze(ub, axis=-1 if f // 2 == 0 else (-2 if f // 2 == 1 else -3))
-            if flip:
-                u = jnp.flip(u, axis=-1)
-                p = jnp.flip(p, axis=-1)
-                ub = jnp.flip(ub, axis=-1)
-            u_list.append(u)
-            ub_list.append(ub)
-            p_list.append(p)
-        return (jnp.concatenate(u_list, axis=-1),
-                jnp.concatenate(ub_list, axis=-1),
-                jnp.concatenate(p_list, axis=-1))
-
-    def _pure_drag_lift(self, state: DomainState):
-        """(cd, cl) per z-slice (scalars in 2D); cylinder_env_base.py:657-698."""
-        u_cell, u_b, p_cell = self._collect_wall_fields(state)
-        nu = jnp.asarray(self._viscosity, self._dtype)
-        if self._ndims == 2:
-            forces = compute_forces_2d(
-                u_cell, u_b, p_cell, self._wall_normals, self._tangent_lengths,
-                self._wall_distances, self._wall_face_lengths, nu)
-        else:
-            face_areas = self._wall_face_lengths * (
-                self.D / self._circle_resolution_angular)
-            forces = compute_forces_3d(
-                u_cell, u_b, p_cell, self._wall_normals, self._tangent_lengths,
-                self._wall_distances, face_areas, nu)
-        scale = 0.5 * self._U_mean**2 * self.cylinder_diameter
-        return forces[0] / scale, forces[1] / scale
 
     # ------------------------------------------------------------------
     # observations (cylinder_env_base.py:436-546)

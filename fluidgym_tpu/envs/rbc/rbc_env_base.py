@@ -199,6 +199,7 @@ class RBCEnvBase(FluidEnv):
             pressure_return_best_result=True,
             velocity_corrector="FD",
             non_orthogonal=False,
+            differentiable=self._differentiable,
         )
 
     def _additional_initialization(self) -> None:

@@ -250,6 +250,7 @@ class TCF3DBottomEnv(FluidEnv):
             pressure_return_best_result=True,
             velocity_corrector="FD",
             non_orthogonal=False,  # rectilinear channel grid is orthogonal
+            differentiable=self._differentiable,
         )
 
     def _additional_initialization(self) -> None:

@@ -101,11 +101,13 @@ def cg(
     tol: float | None = None,
     maxiter: int = 5000,
     return_best: bool = True,
+    precond: Callable[[Vec], Vec] | None = None,
 ) -> tuple[Vec, SolveInfo]:
-    """Conjugate gradients on an SPD matrix-free operator.
+    """(Preconditioned) conjugate gradients on an SPD matrix-free operator.
 
-    ``b`` may be an array or a pytree of arrays (multi-block fields).
-    Convergence: RMSE of the residual <= tol (NORM2_NORMALIZED).
+    ``b`` may be an array or a pytree of arrays (multi-block fields);
+    ``precond`` applies an SPD preconditioner inverse (e.g. Jacobi).
+    Convergence: RMSE of the TRUE residual <= tol (NORM2_NORMALIZED).
     """
     dt = _dtype(b)
     if tol is None:
@@ -115,19 +117,21 @@ def cg(
 
     x = _zeros_like(b) if x0 is None else x0
     r = jax.tree.map(lambda bb, ax: bb - ax, b, matvec(x)) if x0 is not None else b
-    p = r
+    z = precond(r) if precond is not None else r
+    p = z
+    rz = _vdot(r, z).astype(dt)
     rs = _vdot(r, r).astype(dt)
 
     def cond(carry):
-        x, r, p, rs, it, best_x, best_rs = carry
+        x, r, p, rz, rs, it, best_x, best_rs = carry
         return jnp.logical_and(it < maxiter, rs > tol2_sum)
 
     def body(carry):
-        x, r, p, rs, it, best_x, best_rs = carry
+        x, r, p, rz, rs, it, best_x, best_rs = carry
         Ap = matvec(p)
         denom = _vdot(p, Ap).astype(dt)
         tiny = jnp.asarray(1e-30, dt)
-        alpha = rs / jnp.where(jnp.abs(denom) < tiny, tiny, denom)
+        alpha = rz / jnp.where(jnp.abs(denom) < tiny, tiny, denom)
         x = _axpy(alpha, p, x)
         r = _axpy(-alpha, Ap, r)
         # periodic residual recomputation against fp32 drift (reference
@@ -139,16 +143,18 @@ def cg(
             lambda xx: r,
             x,
         )
+        z = precond(r) if precond is not None else r
+        rz_new = _vdot(r, z).astype(dt)
         rs_new = _vdot(r, r).astype(dt)
-        beta = rs_new / jnp.where(rs < tiny, tiny, rs)
-        p = _scale_add(r, beta, p)
+        beta = rz_new / jnp.where(jnp.abs(rz) < tiny, tiny, rz)
+        p = _scale_add(z, beta, p)
         better = rs_new < best_rs
         best_x = _where(better, x, best_x)
         best_rs = jnp.where(better, rs_new, best_rs)
-        return x, r, p, rs_new, it + 1, best_x, best_rs
+        return x, r, p, rz_new, rs_new, it + 1, best_x, best_rs
 
-    init = (x, r, p, rs, jnp.asarray(0, jnp.int32), x, rs)
-    x, r, p, rs, it, best_x, best_rs = lax.while_loop(cond, body, init)
+    init = (x, r, p, rz, rs, jnp.asarray(0, jnp.int32), x, rs)
+    x, r, p, rz, rs, it, best_x, best_rs = lax.while_loop(cond, body, init)
 
     converged = rs <= tol2_sum
     if return_best:

@@ -86,6 +86,23 @@ class SimConfig:
     advect_passive_scalar: bool = True
     non_orthogonal: bool = False
     max_substeps: int = 1000
+    # True: wrap solves in lax.custom_linear_solve (implicit-function VJP,
+    # reverse-differentiable). False: direct Krylov loops with WARM STARTS
+    # from the previous iterate (the reference non-diff backend's
+    # advect_use_prev_result / pressure_reuse_result,
+    # PISOtorch_simulation.py:1436-1440) -- faster for RL stepping.
+    differentiable: bool = True
+    # Jacobi preconditioning of the (SPD) pressure solve
+    pressure_precondition: bool = True
+    # Warm-start the non-differentiable Krylov solves from the previous
+    # field/pressure (reference advect_use_prev_result / pressure_reuse_result)
+    warm_start: bool = True
+    # Static bound on CFL substeps per env dt in DIFFERENTIABLE adaptive mode
+    # (reverse-mode AD cannot differentiate a dynamic while_loop, so the
+    # adaptive loop becomes a masked lax.scan of this fixed length; converged
+    # iterations are no-ops via lax.cond).  Raise it if a differentiable
+    # rollout needs more than this many substeps per cfg.dt.
+    diff_adaptive_max_substeps: int = 8
 
     def __post_init__(self):
         if self.velocity_corrector not in ("FD",):
@@ -106,7 +123,7 @@ def _run_hooks(hooks: Hooks | None, name: str, state: DomainState, **kw) -> Doma
 
 
 def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
-           return_best):
+           return_best, differentiable=True, x0=None, precondition=False):
     """Differentiable global linear solve over all blocks.
 
     ``lax.custom_linear_solve`` supplies the implicit-function gradient: the
@@ -124,12 +141,27 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
     def mv(xs):
         return st.domain_apply(ops, xs, topo)
 
+    precond_fn = None
+    if precondition:
+        inv_diag = tuple(1.0 / op.diag for op in ops)
+
+        def precond_fn(rs):
+            return tuple(d * r for d, r in zip(inv_diag, rs))
+
     if symmetric and not use_bicg:
+        if not differentiable:
+            return linsolve.cg(mv, b, x0=x0, tol=tol, maxiter=maxiter,
+                               return_best=return_best, precond=precond_fn)[0]
+
         def solve_fn(mv_fn, bb):
             return linsolve.cg(mv_fn, bb, tol=tol, maxiter=maxiter,
-                               return_best=return_best)[0]
+                               return_best=return_best, precond=precond_fn)[0]
 
         return lax.custom_linear_solve(mv, b, solve_fn, symmetric=True)
+
+    if not differentiable:
+        return linsolve.bicgstab(mv, b, x0=x0, tol=tol, maxiter=maxiter,
+                                 return_best=return_best)[0]
 
     def solve_fn(mv_fn, bb):
         return linsolve.bicgstab(mv_fn, bb, tol=tol, maxiter=maxiter,
@@ -191,7 +223,9 @@ def piso_substep(
                 ops, rhs, topo,
                 tol=cfg.advection_tol, maxiter=cfg.advection_maxiter,
                 symmetric=False, use_bicg=cfg.advection_use_bicg,
-                return_best=False,
+                return_best=False, differentiable=cfg.differentiable,
+                x0=tuple(blk.scalar[c] for blk in state.blocks)
+                if cfg.warm_start else None,
             )
             for b in range(nblocks):
                 new_scalars[b].append(res[b])
@@ -230,6 +264,9 @@ def piso_substep(
         adv_ops, vel_rhs, topo,
         tol=cfg.advection_tol, maxiter=cfg.advection_maxiter,
         symmetric=False, use_bicg=cfg.advection_use_bicg, return_best=False,
+        differentiable=cfg.differentiable,
+        x0=tuple(blk.velocity for blk in state.blocks)
+        if cfg.warm_start else None,
     )
 
     # ---- corrector loop (PISOtorch_simulation.py:1777-1972) ---------------
@@ -261,6 +298,9 @@ def piso_substep(
             symmetric=not cfg.pressure_use_bicg,
             use_bicg=cfg.pressure_use_bicg,
             return_best=cfg.pressure_return_best_result,
+            differentiable=cfg.differentiable,
+            x0=pressures if cfg.warm_start else None,
+            precondition=cfg.pressure_precondition,
         )
         if cfg.normalize_pressure_result:
             mean = _global_mean(pressures)
@@ -295,11 +335,47 @@ def piso_adaptive_step(
     """Advance ``time_target`` with CFL-limited substeps, fully on-device
     (reference ``_PISO_adaptive_step``, PISOtorch_simulation.py:2004-2064).
 
-    Forward-only (``lax.while_loop``); differentiable rollouts should use
-    ``piso_fixed_steps``.
-    """
+    Non-differentiable mode uses a dynamic ``lax.while_loop`` (runs exactly
+    as many substeps as the CFL requires).  Differentiable mode (reverse-mode
+    AD cannot differentiate a dynamic while_loop) uses a masked ``lax.scan``
+    of static length ``cfg.diff_adaptive_max_substeps``: each iteration
+    either takes one CFL substep or, once ``remaining`` is exhausted, passes
+    the state through unchanged via ``lax.cond`` (the reference's eager-torch
+    adaptive loop needs no such bound; this is the jit-compatible
+    equivalent)."""
     time_target = jnp.asarray(time_target, state.blocks[0].velocity.dtype)
     eps = 1e-6 * time_target
+
+    def cfl_ts(s, remaining):
+        max_vel = st.max_computational_velocity(s, geoms, topo)
+        max_ts = jnp.where(
+            max_vel > 1e-30, cfg.adaptive_cfl / jnp.maximum(max_vel, 1e-30),
+            remaining,
+        )
+        substeps = jnp.maximum(jnp.ceil(remaining / max_ts), 1.0)
+        return remaining / substeps
+
+    if cfg.differentiable:
+        def body(carry, _):
+            s, remaining = carry
+            done = remaining <= eps
+            ts = cfl_ts(s, remaining)
+            # keep the (discarded) dummy step numerically safe: det/ts must
+            # stay finite even when remaining is 0
+            ts_safe = jnp.where(done, jnp.ones_like(ts), ts)
+            s = lax.cond(
+                done,
+                lambda s_, ts_: s_,
+                lambda s_, ts_: piso_substep(s_, geoms, topo, cfg, ts_, hooks),
+                s, ts_safe,
+            )
+            remaining = jnp.where(done, remaining, remaining - ts)
+            return (s, remaining), None
+
+        (state, _), _ = lax.scan(
+            body, (state, time_target), None,
+            length=cfg.diff_adaptive_max_substeps)
+        return state
 
     def cond(carry):
         _, remaining = carry
@@ -307,13 +383,7 @@ def piso_adaptive_step(
 
     def body(carry):
         s, remaining = carry
-        max_vel = st.max_computational_velocity(s, geoms, topo)
-        max_ts = jnp.where(
-            max_vel > 1e-30, cfg.adaptive_cfl / jnp.maximum(max_vel, 1e-30),
-            remaining,
-        )
-        substeps = jnp.maximum(jnp.ceil(remaining / max_ts), 1.0)
-        ts = remaining / substeps
+        ts = cfl_ts(s, remaining)
         s = piso_substep(s, geoms, topo, cfg, ts, hooks)
         return s, remaining - ts
 
@@ -388,6 +458,8 @@ def make_divergence_free(
             tol=cfg.pressure_tol, maxiter=maxiter,
             symmetric=True, use_bicg=False,
             return_best=cfg.pressure_return_best_result,
+            differentiable=cfg.differentiable,
+            precondition=cfg.pressure_precondition,
         )
         if cfg.normalize_pressure_result:
             mean = _global_mean(pressures)

@@ -1,0 +1,68 @@
+"""Airfoil environment contract tests (small step counts; physics validation
+runs offline on TPU)."""
+
+import numpy as np
+import pytest
+
+import fluidgym_tpu
+
+DEV_KW = dict(
+    load_initial_domain=False,
+    load_domain_statistics=False,
+    randomize_initial_state=False,
+    episode_length=2,
+    step_length=0.05,
+    dt=0.05,
+)
+
+
+def test_airfoil_registry():
+    ids = fluidgym_tpu.registry.ids()
+    for want in ("Airfoil2D-easy-v0", "Airfoil2D-hard-v0",
+                 "Airfoil3D-easy-v0", "Airfoil3D-medium-v0"):
+        assert want in ids
+
+
+def test_airfoil_grid_valid():
+    from fluidgym_tpu.envs.airfoil.grid import make_airfoil_domain
+
+    dom, info = make_airfoil_domain(
+        ndims=2, res_z=0, H=1.4, L=4.5, vel_in=0.3, attack_angle_deg=10.0,
+        viscosity=1e-4, tail_grow_mul=1.01)
+    topo, geoms, state = dom.build()
+    assert len(topo.blocks) == 6
+    for g in geoms:
+        assert float(np.asarray(g.det).min()) > 0
+
+
+def test_airfoil_2d_contract():
+    env = fluidgym_tpu.make("Airfoil2D-easy-v0", **DEV_KW)
+    obs, _ = env.reset(seed=0)
+    n = env._sensor_locations.shape[-1]
+    assert obs["velocity"].shape == (n, 2)
+    assert obs["pressure"].shape == (n,)
+    assert env.action_space.shape == (3,)
+    a = np.array([1.0, -0.5, -0.5], np.float32)
+    obs, r, te, tr, info = env.step(a)
+    assert np.isfinite(float(np.asarray(r)))
+    assert np.isfinite(float(np.asarray(info["drag"])))
+    assert np.isfinite(float(np.asarray(info["lift"])))
+
+
+def test_airfoil_attack_angle_validation():
+    with pytest.raises(ValueError):
+        fluidgym_tpu.make("Airfoil2D-easy-v0", attack_angle_deg=25.0, **DEV_KW)
+
+
+def test_airfoil_action_zero_mean():
+    """The jet multiplier removes the action mean (airfoil_env_2d.py:169-177)."""
+    import jax.numpy as jnp
+
+    env = fluidgym_tpu.make("Airfoil2D-easy-v0", **DEV_KW)
+    env.reset(seed=0)
+    m = env._pure_action_multiplier(jnp.asarray([2.0, 2.0, 2.0]))
+    assert np.allclose(np.asarray(m), 0.0)
+    m = env._pure_action_multiplier(jnp.asarray([1.0, 0.0, -1.0]))
+    masked = np.asarray(env._jet_masks)
+    assert np.allclose(np.asarray(m)[masked[0] > 0], 1.0)
+    assert np.allclose(np.asarray(m)[masked[2] > 0], -1.0)

@@ -64,6 +64,29 @@ def test_rot_env_steps():
     assert np.isfinite(float(np.asarray(reward)))
 
 
+def test_jet3d_marl_contract():
+    env = fluidgym_tpu.make(
+        "CylinderJet3D-easy-v0", resolution=8, n_jets=4, use_marl=True,
+        local_obs_window=3, local_reward_weight=0.8,
+        load_initial_domain=False, load_domain_statistics=False,
+        randomize_initial_state=False, episode_length=2,
+        step_length=0.02, dt=0.01,
+    )
+    assert env.n_agents == 4
+    obs, _ = env.reset(seed=0)
+    # (n_jets, window, n_sensors_per_agent, ndims, 151)
+    assert obs["velocity"].shape == (4, 3, 2, 3, 151)
+    assert obs["pressure"].shape == (4, 3, 2, 151)
+    actions = jnp.asarray([[1.0], [-1.0], [1.0], [-1.0]], jnp.float32)
+    obs, rewards, te, tr, info = env.step(actions)
+    rewards = np.asarray(rewards)
+    assert rewards.shape == (4,)
+    assert np.isfinite(rewards).all()
+    assert np.isfinite(float(np.asarray(info["global_reward"])))
+    # antisymmetric jets on a symmetric flow: per-jet rewards must differ
+    assert not np.isclose(rewards[0], rewards[1])
+
+
 def test_divergence_free_after_init(jet_env):
     from fluidgym_tpu.solver import stencil as st
 

@@ -23,7 +23,7 @@ def test_tcf_registry():
     assert len([i for i in ids if i.startswith("TCF")]) == 12
     assert "TCFSmall3D-bottom-easy-v0" in ids
     assert "TCFLarge3D-both-hard-v0" in ids
-    assert len(ids) == 30  # 12 RBC + 6 cylinder + 12 TCF so far
+    assert len(ids) == 39  # 12 RBC + 9 cylinder + 12 TCF + 6 airfoil
 
 
 @pytest.fixture(scope="module")
