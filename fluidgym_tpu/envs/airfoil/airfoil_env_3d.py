@@ -251,6 +251,39 @@ class AirfoilEnv3D(AirfoilEnvBase):
         return obs, rewards, False, info
 
     # ------------------------------------------------------------------
+    # rendering (airfoil_env_3d.py:460-522)
+    # ------------------------------------------------------------------
+    # iso levels per Reynolds number (airfoil_env_3d.py:21-25)
+    VORTICITY_RENDER_LEVELS = {1000: 2.0, 3000: 3.5, 5000: 4.5}
+
+    def _get_render_data(self, render_3d: bool, output_path=None):
+        data = super()._get_render_data(render_3d, output_path)
+        if render_3d:
+            from fluidgym_tpu.envs.util.visualization import render_3d_iso
+
+            u = np.asarray(jax.device_get(self.get_velocity()))
+            vort = np.asarray(jax.device_get(self.get_vorticity()))
+            curl = np.abs(vort).transpose(2, 1, 0)
+            umag = np.linalg.norm(u, axis=0).transpose(2, 1, 0)
+            # clean top/bottom boundary noise (airfoil_env_3d.py:490-492)
+            curl[:, :15, :] = 0.0
+            curl[:, -15:, :] = 0.0
+            out = None
+            if output_path is not None:
+                out = output_path / f"vorticity_{self._n_episodes}_{self._n_steps}.png"
+            iso = self.VORTICITY_RENDER_LEVELS.get(
+                int(self._reynolds_number), 3.5)
+            data["3d_vorticity"] = render_3d_iso(
+                iso_field=curl, iso=[iso], color_field=umag,
+                color_range=(0.0, float(umag.max()) or 1.0),
+                output_path=out,
+                extent=((-1.5, self.L), (-self.H / 2, self.H / 2),
+                        (-self.D / 2, self.D / 2)),
+                view_kwargs={"elev": 10, "azim": 60},
+            )
+        return data
+
+    # ------------------------------------------------------------------
     # 2D warm start (airfoil_env_3d.py:524-563)
     # ------------------------------------------------------------------
     def _get_domain(self):

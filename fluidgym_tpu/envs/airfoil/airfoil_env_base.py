@@ -481,6 +481,12 @@ class AirfoilEnvBase(WallForcesMixin, FluidEnv):
             self._vorticity_stats = Stats(**stats["vorticity_magnitude"])
         return stats
 
+    def _pure_carry(self):
+        return (self._state, self._last_control)
+
+    def _set_pure_carry(self, carry) -> None:
+        self._state, self._last_control = carry
+
     def detach(self) -> None:
         super().detach()
         self._last_control = jax.lax.stop_gradient(self._last_control)

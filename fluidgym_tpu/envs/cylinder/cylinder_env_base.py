@@ -447,6 +447,12 @@ class CylinderEnvBase(WallForcesMixin, FluidEnv):
         if "last_control" in info:
             self._last_control = info["last_control"]
 
+    def _pure_carry(self):
+        return (self._state, self._last_control)
+
+    def _set_pure_carry(self, carry) -> None:
+        self._state, self._last_control = carry
+
     def detach(self) -> None:
         super().detach()
         self._last_control = jax.lax.stop_gradient(self._last_control)

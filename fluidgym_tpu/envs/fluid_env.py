@@ -545,6 +545,25 @@ class FluidEnv(ABC, FluidEnvLike):
     def _set_additional_state_info(self, info: dict[str, Any]) -> None:
         pass
 
+    def _pure_carry(self):
+        """The pytree threaded through ``_pure_step`` (DomainState by
+        default; envs with auxiliary carried state override)."""
+        return self._state
+
+    def _set_pure_carry(self, carry) -> None:
+        self._state = carry
+
+    def get_uncontrolled_episode_metrics(self):
+        """Per-step metrics of the uncontrolled episode matching the loaded
+        (non-randomized) initial domain, as a DataFrame, or None if absent
+        (reference fluid_env.py:1266-1278)."""
+        ep = getattr(self, "_uncontrolled_episode", None)
+        if ep is None:
+            return None
+        import pandas as pd
+
+        return pd.DataFrame(ep)
+
     def detach(self) -> None:
         """Sever gradient flow between horizons (fluid_env.py:1280-1289);
         pytree equivalent of Domain.Detach()."""

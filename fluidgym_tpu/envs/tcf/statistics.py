@@ -1,0 +1,179 @@
+"""Turbulent-channel velocity statistics recorder.
+
+Compact functional re-expression of the reference ``VelocityStats``
+(``/root/reference/src/fluidgym/simulation/pict/data/TCF_tools.py:324-2239``):
+records running wall-normal profiles of the velocity moments (mean, rms,
+Reynolds shear stress) averaged over x-z planes, tracks the instantaneous
+wall stress / u_tau, converts to wall units, compares against reference DNS
+profiles (see :mod:`fluidgym_tpu.envs.tcf.reference_profiles`), and saves /
+loads / plots.  The accumulation is a pure pytree update usable inside jitted
+rollouts (the reference's is host-side torch).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidgym_tpu.envs.tcf import tools
+
+Array = jax.Array
+
+__all__ = ["VelocityStatsState", "velocity_stats_init", "velocity_stats_update",
+           "velocity_stats_finalize", "VelocityStats"]
+
+STAT_KEYS = ("U+", "V+", "W+", "u'+", "v'+", "w'+", "uv'+")
+
+
+class VelocityStatsState(NamedTuple):
+    """Running raw moments of plane-averaged velocities; profiles over y."""
+
+    count: Array
+    mean: Array      # (3, ny) running mean of (u, v, w) over planes x time
+    msq: Array       # (3, ny) running mean of (u^2, v^2, w^2)
+    uv: Array        # (ny,) running mean of u*v
+    dudy_wall: Array  # (2,) running mean of |du/dy| at (bottom, top)
+
+
+def velocity_stats_init(ny: int, dtype=jnp.float32) -> VelocityStatsState:
+    return VelocityStatsState(
+        count=jnp.zeros((), dtype),
+        mean=jnp.zeros((3, ny), dtype),
+        msq=jnp.zeros((3, ny), dtype),
+        uv=jnp.zeros((ny,), dtype),
+        dudy_wall=jnp.zeros((2,), dtype),
+    )
+
+
+def velocity_stats_update(state: VelocityStatsState, velocity: Array,
+                          d_wall: Array) -> VelocityStatsState:
+    """Accumulate one snapshot.  ``velocity``: (3, nz, ny, nx); ``d_wall``:
+    wall distance of the first cell layer (for du/dy)."""
+    prof = velocity.mean(axis=(1, 3))                       # (3, ny)
+    prof2 = (velocity**2).mean(axis=(1, 3))                 # (3, ny)
+    uv_prof = (velocity[0] * velocity[1]).mean(axis=(0, 2))  # (ny,)
+
+    n = state.count + 1.0
+    u_mean = velocity[0].mean(axis=(0, 2))
+    dudy = jnp.stack([jnp.abs(u_mean[0]) / d_wall, jnp.abs(u_mean[-1]) / d_wall])
+    return VelocityStatsState(
+        count=n,
+        mean=state.mean + (prof - state.mean) / n,
+        msq=state.msq + (prof2 - state.msq) / n,
+        uv=state.uv + (uv_prof - state.uv) / n,
+        dudy_wall=state.dudy_wall + (dudy - state.dudy_wall) / n,
+    )
+
+
+def velocity_stats_finalize(state: VelocityStatsState, viscosity: float):
+    """(profiles dict in wall units, u_wall) from the accumulated moments."""
+    var = jnp.maximum(state.msq - state.mean**2, 0.0)
+    cov_uv = state.uv - state.mean[0] * state.mean[1]
+    u_wall = jnp.sqrt(viscosity * state.dudy_wall.mean())
+    prof = {
+        "U+": state.mean[0] / u_wall,
+        "V+": state.mean[1] / u_wall,
+        "W+": state.mean[2] / u_wall,
+        "u'+": jnp.sqrt(var[0]) / u_wall,
+        "v'+": jnp.sqrt(var[1]) / u_wall,
+        "w'+": jnp.sqrt(var[2]) / u_wall,
+        "uv'+": cov_uv / u_wall**2,
+    }
+    return prof, u_wall
+
+
+class VelocityStats:
+    """Host-side convenience wrapper: record / save / load / plot / compare.
+
+    ``pos_y``: wall-normal cell-center positions in [-1, 1] (channel
+    half-height units); ``viscosity``: kinematic viscosity.
+    """
+
+    def __init__(self, pos_y: np.ndarray, viscosity: float):
+        self.pos_y = np.asarray(pos_y)
+        self.viscosity = float(viscosity)
+        d_wall = max(float(1.0 + self.pos_y[0]), 1e-12)  # first center to wall
+        self._d_wall = d_wall
+        self.state = velocity_stats_init(len(self.pos_y))
+        self._update = jax.jit(velocity_stats_update)
+
+    def record(self, velocity: Array) -> None:
+        self.state = self._update(self.state, velocity,
+                                  jnp.asarray(self._d_wall))
+
+    @property
+    def u_wall(self) -> float:
+        _, uw = velocity_stats_finalize(self.state, self.viscosity)
+        return float(uw)
+
+    @property
+    def Re_wall(self) -> float:
+        return self.u_wall / self.viscosity
+
+    def profiles(self) -> dict[str, np.ndarray]:
+        prof, _ = velocity_stats_finalize(self.state, self.viscosity)
+        return {k: np.asarray(jax.device_get(v)) for k, v in prof.items()}
+
+    def pos_y_wall(self) -> np.ndarray:
+        """y+ of the lower half channel."""
+        return tools.pos_to_pos_wall(1.0 + self.pos_y, self.viscosity,
+                                     self.u_wall)
+
+    def save(self, path) -> None:
+        np.savez(path, pos_y=self.pos_y, viscosity=self.viscosity,
+                 count=np.asarray(self.state.count),
+                 mean=np.asarray(self.state.mean),
+                 msq=np.asarray(self.state.msq),
+                 uv=np.asarray(self.state.uv),
+                 dudy_wall=np.asarray(self.state.dudy_wall))
+
+    @classmethod
+    def load(cls, path) -> "VelocityStats":
+        with np.load(path) as f:
+            vs = cls(f["pos_y"], float(f["viscosity"]))
+            vs.state = VelocityStatsState(
+                count=jnp.asarray(f["count"]), mean=jnp.asarray(f["mean"]),
+                msq=jnp.asarray(f["msq"]), uv=jnp.asarray(f["uv"]),
+                dudy_wall=jnp.asarray(f["dudy_wall"]))
+        return vs
+
+    def errors_vs_reference(self, reference,
+                            keys=("U+", "u'+", "v'+", "w'+", "uv'+")):
+        """Area-weighted L1 error of each profile vs a reference DNS profile
+        (reference log_stats_errors_half, TCF_tools.py:2112-2158)."""
+        prof = self.profiles()
+        ref = tools.interpolate_ref_statistics(reference, self.pos_y, keys)
+        dy = np.gradient(self.pos_y)
+        return {k: float(np.sum(np.abs(prof[k] - r) * dy) / np.sum(dy))
+                for k, r in zip(keys, ref)}
+
+    def plot(self, path, reference=None, file_type: str = "pdf") -> None:
+        """Mean/rms/shear-stress profiles vs y+ with optional DNS overlay
+        (reference plot_avg_vel_stats, TCF_tools.py:1621-1750)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        prof = self.profiles()
+        keys = [k for k in STAT_KEYS if k not in ("V+", "W+")]
+        fig, axs = plt.subplots(1, len(keys), figsize=(3.2 * len(keys), 2.6))
+        for ax, k in zip(axs, keys):
+            ax.plot(self.pos_y, prof[k], label="sim")
+            if reference is not None:
+                try:
+                    (r,) = tools.interpolate_ref_statistics(
+                        reference, self.pos_y, [k])
+                    ax.plot(self.pos_y, r, "--", label="DNS")
+                except (KeyError, NotImplementedError):
+                    pass
+            ax.set_xlabel("y/h")
+            ax.set_ylabel(k)
+            ax.legend(fontsize=6)
+        fig.tight_layout()
+        fig.savefig(Path(path).with_suffix(f".{file_type}"))
+        plt.close(fig)

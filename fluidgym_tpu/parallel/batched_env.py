@@ -124,7 +124,7 @@ class BatchedFluidEnv:
         obs_list = []
         for s in seeds:
             obs, _ = self.env.reset(seed=s, randomize=randomize)
-            states.append(self.env._state)
+            states.append(self.env._pure_carry())
             obs_list.append(obs)
         self._bstate = self._shard(
             jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *states)
@@ -172,10 +172,10 @@ class BatchedFluidEnv:
         """Load one initial domain into every batch slot
         (parallel_env.py:375-395)."""
         self.env.load_initial_domain(mode, idx)
-        state = self.env._state
+        carry = self.env._pure_carry()
         self._bstate = self._shard(
             jax.tree.map(
-                lambda a: jnp.broadcast_to(a, (self.n_envs,) + a.shape), state
+                lambda a: jnp.broadcast_to(a, (self.n_envs,) + a.shape), carry
             )
         )
         self._n_steps = 0

@@ -70,6 +70,7 @@ __all__ = [
     "cross_coefficients",
     "apply_matrix_terms",
     "deferred_rhs",
+    "deferred_rhs_flux",
 ]
 
 # corner types at a FIXED tf face
@@ -223,6 +224,80 @@ def _diagonal_value(xs: BlockVec, b: int, f: int, tf: int, topo: DomainTopo) -> 
         slab = _face_slab(corner.ndim, tf)
         corner = corner.at[slab].set(_roll_nbr(halo_tf, f)[slab])
     return corner
+
+
+def _tangential_cd(xs: BlockVec, topo: DomainTopo, b: int, t: int) -> Array:
+    """Cell-centered tangential central difference ``0.5*(x_T+ - x_T-)``
+    along axis t, with CONNECTED/PERIODIC halos and one-sided differences at
+    FIXED walls."""
+    x = xs[b]
+    btopo = topo.blocks[b]
+    up = _neighbor_field(xs, b, 2 * t + 1, topo)
+    lo = _neighbor_field(xs, b, 2 * t, topo)
+    cd = 0.5 * (up - lo)
+    if btopo.faces[2 * t + 1].kind == BoundKind.FIXED:
+        slab = _face_slab(cd.ndim, 2 * t + 1)
+        cd = cd.at[slab].set((x - lo)[slab])
+    if btopo.faces[2 * t].kind == BoundKind.FIXED:
+        slab = _face_slab(cd.ndim, 2 * t)
+        cd = cd.at[slab].set((up - x)[slab])
+    return cd
+
+
+def deferred_rhs_flux(
+    xs: BlockVec,
+    geoms,
+    topo: DomainTopo,
+    ras: BlockVec,
+) -> BlockVec:
+    """Fully-deferred non-orthogonal correction in FLUX form (pressure).
+
+    Algebraically identical to ``deferred_rhs(include_direct=True)`` in the
+    interior (the corner sums reduce to the face-averaged tangential central
+    difference), but constructed as per-face fluxes
+    ``F_f = faceAlpha_f * 0.5*(CD_P + CD_N)`` differenced per cell, so the
+    correction telescopes EXACTLY: interior/seam faces cancel pairwise and
+    wall faces carry no flux.  The per-cell corner formulas of
+    ``deferred_rhs`` leave O(1) non-telescoping residue at wall-adjacent
+    slabs, which for the singular all-Neumann pressure system acts as a large
+    spurious low-frequency source -- fully converged solves then produce
+    unbounded pressure dipoles (observed as a t~0.1 cylinder blow-up once the
+    solver actually converges).  Flux form keeps the RHS in the solvable
+    range space by construction.
+    """
+    betas = _betas(geoms, topo)
+    nd = topo.ndims
+    nblocks = len(geoms)
+    cds = [tuple(_tangential_cd(xs, topo, b, t) for t in range(nd))
+           for b in range(nblocks)]
+    out = []
+    for b, (geom, btopo) in enumerate(zip(geoms, topo.blocks)):
+        if betas[b] is None:
+            out.append(jnp.zeros(btopo.shape, geom.det.dtype))
+            continue
+        S = jnp.zeros(btopo.shape, geom.det.dtype)
+        for f in range(2 * nd):
+            a = face_axis(f)
+            spec = btopo.faces[f]
+            for i in range(1, nd):
+                t = (a + i) % nd
+                fa = _face_alpha(betas, ras, topo, b, f, t)
+                cd = cds[b][t]
+                cd_n = _roll_nbr(cd, f)
+                if spec.kind == BoundKind.CONNECTED:
+                    nb = spec.connected_block
+                    t_idx = spec.axes[(t - a) % nd]
+                    halo = _halo(cds[nb][t_idx >> 1], spec, f, nd)
+                    if t_idx & 1:  # inverted t mapping flips the derivative
+                        halo = -halo
+                    cd_n = cd_n.at[_face_slab(cd_n.ndim, f)].set(halo)
+                g = 0.5 * (cd + cd_n)
+                F = fa * g
+                if spec.kind == BoundKind.FIXED:
+                    F = F.at[_face_slab(F.ndim, f)].set(0.0)
+                S = S - face_sign(f) * F
+        out.append(S)
+    return tuple(out)
 
 
 def deferred_rhs(

@@ -94,9 +94,15 @@ class SimConfig:
     differentiable: bool = True
     # Jacobi preconditioning of the (SPD) pressure solve
     pressure_precondition: bool = True
-    # Warm-start the non-differentiable Krylov solves from the previous
-    # field/pressure (reference advect_use_prev_result / pressure_reuse_result)
+    # Warm-start the non-differentiable advection/scalar Krylov solves from
+    # the previous field (reference advect_use_prev_result)
     warm_start: bool = True
+    # Warm-starting the PRESSURE solve is off by default: the all-Neumann
+    # Poisson system is near-singular, and an inherited low-frequency error
+    # component is nearly invisible to the residual stopping criterion, so it
+    # accumulates across substeps and destabilizes the coupled PISO iteration
+    # (observed as a t~0.1 blow-up on the cylinder; cold starts are stable).
+    pressure_warm_start: bool = False
     # Static bound on CFL substeps per env dt in DIFFERENTIABLE adaptive mode
     # (reverse-mode AD cannot differentiate a dynamic while_loop, so the
     # adaptive loop becomes a masked lax.scan of this fixed length; converged
@@ -283,23 +289,28 @@ def piso_substep(
         if cfg.non_orthogonal:
             # deferred pressure correction from the previous pressure iterate
             # (k_pressureRHSaddNonOrthoComponents, kernel.cu:5471-5492)
-            Sp = nonortho.deferred_rhs(
-                pressures, geoms, topo, inv_a, field="pressure",
-                include_direct=True,
-            )
+            Sp = nonortho.deferred_rhs_flux(pressures, geoms, topo, inv_a)
             div = tuple(d + s for d, s in zip(div, Sp))
         if cfg.pressure_time_step_normalized:
             div = tuple(d / dt for d in div)
         # p_ops is the sign-flipped (positive definite) Poisson operator, so
         # negate the RHS: P p = div  <=>  (-P) p = -div.
+        rhs_p = tuple(-d for d in div)
+        if cfg.normalize_pressure_result:
+            # solvability projection for the singular all-Neumann system:
+            # remove the constant-mode component of the RHS (flux-balance
+            # residual + deferred non-orthogonal boundary terms), without
+            # which CG accumulates an unbounded nullspace component
+            rhs_mean = _global_mean(rhs_p)
+            rhs_p = tuple(r - rhs_mean for r in rhs_p)
         pressures = _solve(
-            p_ops, tuple(-d for d in div), topo,
+            p_ops, rhs_p, topo,
             tol=cfg.pressure_tol, maxiter=cfg.pressure_maxiter,
             symmetric=not cfg.pressure_use_bicg,
             use_bicg=cfg.pressure_use_bicg,
             return_best=cfg.pressure_return_best_result,
             differentiable=cfg.differentiable,
-            x0=pressures if cfg.warm_start else None,
+            x0=pressures if cfg.pressure_warm_start else None,
             precondition=cfg.pressure_precondition,
         )
         if cfg.normalize_pressure_result:
@@ -453,8 +464,12 @@ def make_divergence_free(
         state = _run_hooks(hooks, "PRE", state, time_step=one)
         hbyA = tuple(blk.velocity for blk in state.blocks)
         div = st.divergence_of(hbyA, state, geoms, topo)
+        rhs_p = tuple(-d for d in div)
+        if cfg.normalize_pressure_result:
+            rhs_mean = _global_mean(rhs_p)  # solvability projection
+            rhs_p = tuple(r - rhs_mean for r in rhs_p)
         pressures = _solve(
-            p_ops, tuple(-d for d in div), topo,
+            p_ops, rhs_p, topo,
             tol=cfg.pressure_tol, maxiter=maxiter,
             symmetric=True, use_bicg=False,
             return_best=cfg.pressure_return_best_result,

@@ -54,6 +54,28 @@ def test_airfoil_attack_angle_validation():
         fluidgym_tpu.make("Airfoil2D-easy-v0", attack_angle_deg=25.0, **DEV_KW)
 
 
+def test_airfoil_3d_marl_contract(monkeypatch):
+    import jax.numpy as jnp
+
+    from fluidgym_tpu.envs.airfoil.airfoil_env_3d import AirfoilEnv3D
+
+    monkeypatch.setattr(AirfoilEnv3D, "_res_z", 8)
+    env = fluidgym_tpu.make(
+        "Airfoil3D-easy-v0", n_agents=4, use_marl=True, local_obs_window=3,
+        local_reward_weight=0.5, init_from_2d=False, **DEV_KW)
+    assert env.n_agents == 4
+    obs, _ = env.reset(seed=0)
+    n = env._sensor_locations.shape[-1]
+    assert obs["velocity"].shape == (4, 3, 1, 3, n)
+    assert obs["pressure"].shape == (4, 3, 1, n)
+    actions = jnp.asarray([[1.0, 0.0, -1.0]] * 4, jnp.float32)
+    obs, rewards, te, tr, info = env.step(actions)
+    rewards = np.asarray(rewards)
+    assert rewards.shape == (4,)
+    assert np.isfinite(rewards).all()
+    assert np.isfinite(float(np.asarray(info["global_reward"])))
+
+
 def test_airfoil_action_zero_mean():
     """The jet multiplier removes the action mean (airfoil_env_2d.py:169-177)."""
     import jax.numpy as jnp
