@@ -12,6 +12,7 @@ import os
 # in subprocesses, and setting JAX_PLATFORMS forcibly keeps this process on
 # the host CPU backend (the TPU is single-tenant; tests must not claim it).
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -60,6 +60,10 @@ def test_airfoil_3d_marl_contract(monkeypatch):
     from fluidgym_tpu.envs.airfoil.airfoil_env_3d import AirfoilEnv3D
 
     monkeypatch.setattr(AirfoilEnv3D, "_res_z", 8)
+    # small render grid: the production (600, 150, 150) resample plan is far
+    # too large for a unit test
+    monkeypatch.setattr(AirfoilEnv3D, "render_shape",
+                        property(lambda self: (120, 30, 30)))
     env = fluidgym_tpu.make(
         "Airfoil3D-easy-v0", n_agents=4, use_marl=True, local_obs_window=3,
         local_reward_weight=0.5, init_from_2d=False, **DEV_KW)
