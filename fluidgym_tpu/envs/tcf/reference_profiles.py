@@ -16,7 +16,7 @@ import numpy as np
 
 from fluidgym_tpu.envs.tcf import tools as TCF_tools
 
-__all__ = ["TorrojaProfile", "OpenFOAMProfile"]
+__all__ = ["TorrojaProfile", "OpenFOAMProfile", "TorrojaBalances", "TorrojaSpectra"]
 
 _FULL_KEYS = ("U+", "u'+", "v'+", "w'+", "uv'+", "p'")
 
@@ -112,3 +112,120 @@ class OpenFOAMProfile:
         if key == "uv'+":
             return np.concatenate((-p, p[::-1]))
         return np.concatenate((p, p[::-1]))
+
+
+class TorrojaBalances:
+    """Torroja ``Re%d.bal.<ij>`` Reynolds-stress budget files
+    (reference torroja.py:134-259); drop-in comparison source for the
+    online TKE budgets."""
+
+    class TorrojaBalance:
+        _components = ("u", "v", "w")
+        _KEYS = ("dissip", "produc", "p-strain", "p-diff", "t-diff",
+                 "v-diff", "bal")
+
+        def __init__(self, base_path, Re: int, i: int, j: int):
+            path = (Path(base_path) /
+                    f"Re{int(Re)}.bal.{self._components[i]}{self._components[j]}")
+            self.Re_wall = int(Re)
+            with open(path) as fh:
+                line = fh.readline()
+                while "End of Header" not in line:
+                    line = fh.readline()
+                fh.readline()
+                self.ny = int(fh.readline().split()[3][:-1])
+                fh.readline()
+                self.field_names = fh.readline().split()[1:]
+                fh.readline()  # ---- separator
+                cols = [[] for _ in self.field_names]
+                for line in fh:
+                    for k, v in enumerate(line.split()):
+                        cols[k].append(float(v))
+            self.balances = {n: np.asarray(v)
+                             for n, v in zip(self.field_names, cols)}
+
+        def get_full_pos_y(self) -> np.ndarray:
+            y = self.balances["y/h"]
+            return np.concatenate((y - 1, 1 - y[::-1]))
+
+        def get_full_data(self, key: str) -> np.ndarray:
+            if key not in self._KEYS:
+                raise NotImplementedError(f"Unsupported profile: {key}")
+            p = self.balances[key]
+            return np.concatenate((p, p[::-1]))
+
+    def __init__(self, base_path, Re: int):
+        self.Re_wall = int(Re)
+        self.balances = {
+            (i, j): TorrojaBalances.TorrojaBalance(base_path, Re, i, j)
+            for (i, j) in ((0, 0), (1, 1), (2, 2), (0, 1))
+        }
+
+    def get_pos_y(self, i, j, as_wall: bool = False):
+        b = self.balances[(i, j)]
+        return b.balances["y+"] if as_wall else b.get_full_pos_y()
+
+    def production(self, i, j):
+        return self.balances[(i, j)].get_full_data("produc")
+
+    def dissipation(self, i, j):
+        return -self.balances[(i, j)].get_full_data("dissip")
+
+    def turbulent_transport(self, i, j):
+        return self.balances[(i, j)].get_full_data("t-diff")
+
+    def viscous_diffusion(self, i, j):
+        return self.balances[(i, j)].get_full_data("v-diff")
+
+    def velocity_pressure_gradient(self, i, j):
+        return self.balances[(i, j)].get_full_data("p-diff")
+
+
+class TorrojaSpectra:
+    """Torroja binary 2D spectra files ``spectra/re<Re>/2D/Re<Re>.spe.jNN``
+    (reference torroja.py:260-449): premultiplied 2D energy spectra at
+    ``nplan`` wall-normal planes for (uu, vv, ww, Re(u*v), Ox^2, Oy^2,
+    Oz^2)."""
+
+    def __init__(self, base_path, Re: int):
+        if Re not in (180, 550, 950, 2000):
+            raise ValueError("Torroja spectra exist for Re 180/550/950/2000")
+        self.Re_wall = int(Re)
+        base = Path(base_path) / f"spectra/re{Re}/2D"
+
+        with open(base / f"Re{Re}.spe.j01", "rb") as fh:
+            self._read_header(fh)
+        self.data_types = ["uu", "vv", "ww", "Re(u*v)", "Ox*Ox", "Oy*Oy",
+                           "Oz*Oz"]
+        if Re == 2000:
+            self.data_types.append("Im(u*v)")
+        self.spectra = {t: [None] * self.nplan for t in self.data_types}
+        for j in range(self.nplan):
+            with open(base / f"Re{Re}.spe.j{j + 1:02d}", "rb") as fh:
+                fh.seek(self._header_size)
+                for t in self.data_types:
+                    self._read_record(fh, j, t)
+
+    def _read_header(self, fh) -> None:
+        import struct as _s
+
+        fh.read(4)
+        (self.utau, self.re, self.alp, self.bet) = _s.unpack("<4f", fh.read(16))
+        (self.mx, self.my, self.mz, self.nplan, self.nacum, self.jind,
+         self.nvar) = _s.unpack("<7i", fh.read(28))
+        fh.read(4)
+        fh.read(4)
+        import numpy as _np
+
+        self.jsp = _np.frombuffer(fh.read(4 * self.nplan), "<i4").tolist()
+        self.pos_y = _np.frombuffer(fh.read(4 * self.nplan), "<f4").tolist()
+        self.pos_y_wall = [y * self.re * self.utau for y in self.pos_y]
+        fh.read(4)
+        self._header_size = 13 * 4 + 2 * 4 + 2 * 4 * self.nplan
+
+    def _read_record(self, fh, j: int, data_type: str) -> None:
+        n = (self.mx // 2) * self.mz
+        fh.read(4)
+        self.spectra[data_type][j] = np.frombuffer(
+            fh.read(4 * n), "<f4").reshape(self.mx // 2, self.mz).copy()
+        fh.read(4)

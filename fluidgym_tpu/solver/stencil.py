@@ -216,8 +216,26 @@ def stencil_off_apply(op: StencilOp, x: Array, ndims: int) -> Array:
     return out
 
 
+def _halo_layer(xs: BlockVec, b: int, f: int, topo: DomainTopo) -> Array:
+    """Boundary-neighbor layer of nbr_f(x): the CONNECTED halo slab, or the
+    wrapped opposite layer (PERIODIC; FIXED layers are masked by off=0)."""
+    spec = topo.blocks[b].faces[f]
+    if spec.kind == BoundKind.CONNECTED:
+        return _halo(xs[spec.connected_block], spec, f, topo.ndims)
+    return _slab(xs[b], f ^ 1)
+
+
 def domain_apply(ops: tuple[StencilOp, ...], xs: BlockVec, topo: DomainTopo) -> BlockVec:
     """Multi-block apply with halo exchange at CONNECTED faces."""
+    from fluidgym_tpu.ops import stencil_pallas as _sp
+
+    if _sp.pallas_stencil_enabled() and topo.ndims == 2:
+        out = []
+        for b, (op, x) in enumerate(zip(ops, xs)):
+            halos = tuple(_halo_layer(xs, b, f, topo) for f in range(4))
+            out.append(_sp.stencil_apply_pallas(op.diag, op.off, x, halos))
+        return tuple(out)
+
     out = []
     for b, (op, x) in enumerate(zip(ops, xs)):
         y = op.diag * x

@@ -23,6 +23,9 @@ __all__ = [
     "covariance_finalize",
     "MomentsState", "moments_init", "moments_update", "moments_finalize",
     "PSDState", "psd_init", "psd_update", "psd_finalize",
+    "TwoPointCorrState", "two_point_corr_init", "two_point_corr",
+    "two_point_corr_from_data",
+    "BudgetState", "budget_init", "budget_update", "budget_finalize",
 ]
 
 
@@ -142,3 +145,144 @@ def psd_update(state: PSDState, signal: Array, axis: int = 0) -> PSDState:
 
 def psd_finalize(state: PSDState) -> Array:
     return state.psd_sum / jnp.maximum(state.count, 1)
+
+
+# -- temporal two-point correlation -------------------------------------------
+# (reference TemporalTwoPointCorrelation_Online_torch, online_statistics.py:1272)
+
+class TwoPointCorrState(NamedTuple):
+    """Correlation of current fluctuations against a base snapshot."""
+
+    base: Array      # base fluctuation field
+    base_rms: Array  # rms of the base over the reduction dims
+
+
+def two_point_corr_init(fluctuations: Array, dims) -> TwoPointCorrState:
+    rms = jnp.sqrt(jnp.mean(jnp.square(fluctuations), axis=dims))
+    return TwoPointCorrState(base=fluctuations, base_rms=rms)
+
+
+def two_point_corr(state: TwoPointCorrState, fluctuations: Array, dims) -> Array:
+    """Correlation coefficient of ``fluctuations`` with the base snapshot."""
+    ms = jnp.mean(state.base * fluctuations, axis=dims)
+    rms = jnp.sqrt(jnp.mean(jnp.square(fluctuations), axis=dims))
+    return ms / (state.base_rms * rms + 1e-30)
+
+
+def two_point_corr_from_data(state: TwoPointCorrState | None, data: Array,
+                             dims):
+    """Convenience: subtract the mean over ``dims`` first; returns
+    ``(state, coefficient | None)`` -- first call initializes the base."""
+    fluct = data - jnp.mean(data, axis=dims, keepdims=True)
+    if state is None:
+        return two_point_corr_init(fluct, dims), None
+    return state, two_point_corr(state, fluct, dims)
+
+
+# -- turbulent kinetic energy budgets -----------------------------------------
+# Compact functional re-expression of the reference
+# TurbulentEnergyBudgetsOnlineParallel_Torch (online_statistics.py:790-1271):
+# accumulates the plane-averaged raw moments required for the per-component
+# TKE budget of a channel flow (averaging over the homogeneous x/z planes)
+# and derives production / turbulent transport / viscous diffusion /
+# pressure transport / pressure strain / dissipation profiles.
+
+class BudgetState(NamedTuple):
+    count: Array
+    u: Array        # (3, ny) mean velocity
+    uu: Array       # (4, ny) <u^2>, <v^2>, <w^2>, <u v>
+    uuv: Array      # (3, ny) <u_i^2 v>
+    uiv: Array      # (3, ny) <u_i v>
+    p: Array        # (ny,)  mean pressure
+    pv: Array       # (ny,)  <p v>
+    pdu: Array      # (3, ny) <p du_i/dx_i>
+    du: Array       # (3, ny) mean du_i/dx_i
+    gg: Array       # (3, ny) <|grad u_i|^2>
+    g: Array        # (3, 3, ny) mean du_i/dx_k
+
+
+def budget_init(ny: int, dtype=jnp.float32) -> BudgetState:
+    z = lambda *s: jnp.zeros(s, dtype)
+    return BudgetState(z(), z(3, ny), z(4, ny), z(3, ny), z(3, ny), z(ny),
+                       z(ny), z(3, ny), z(3, ny), z(3, ny), z(3, 3, ny))
+
+
+def budget_update(state: BudgetState, velocity: Array, pressure: Array,
+                  gradients: Array) -> BudgetState:
+    """One snapshot.  ``velocity`` (3, nz, ny, nx); ``pressure`` (nz, ny, nx);
+    ``gradients`` (3, 3, nz, ny, nx) = du_i/dx_j (e.g. from
+    ``fluidgym_tpu.solver.sgs.velocity_gradients``)."""
+    pm = lambda x: x.mean(axis=(-3, -1))  # plane average over z, x
+    n = state.count + 1.0
+    upd = lambda old, new: old + (new - old) / n
+
+    u, v = velocity[0], velocity[1]
+    uu = jnp.stack([pm(velocity[0] ** 2), pm(velocity[1] ** 2),
+                    pm(velocity[2] ** 2), pm(u * v)])
+    uuv = jnp.stack([pm(velocity[i] ** 2 * v) for i in range(3)])
+    uiv = jnp.stack([pm(velocity[i] * v) for i in range(3)])
+    pdu = jnp.stack([pm(pressure * gradients[i, i]) for i in range(3)])
+    gg = jnp.stack([pm(jnp.sum(gradients[i] ** 2, axis=0)) for i in range(3)])
+    g = gradients.mean(axis=(-3, -1))
+
+    return BudgetState(
+        count=n,
+        u=upd(state.u, pm(velocity)),
+        uu=upd(state.uu, uu),
+        uuv=upd(state.uuv, uuv),
+        uiv=upd(state.uiv, uiv),
+        p=upd(state.p, pm(pressure)),
+        pv=upd(state.pv, pm(pressure * v)),
+        pdu=upd(state.pdu, pdu),
+        du=upd(state.du, jnp.stack([g[i, i] for i in range(3)])),
+        gg=upd(state.gg, gg),
+        g=upd(state.g, g),
+    )
+
+
+def budget_finalize(state: BudgetState, pos_y, viscosity: float,
+                    u_wall: float = 1.0):
+    """Per-component TKE budget profiles (in wall units when ``u_wall`` is
+    supplied): production, turbulent transport, viscous diffusion, pressure
+    transport (v-component), pressure strain, dissipation.  All terms are for
+    the half-budget of <u_i'^2>/2."""
+    import numpy as np
+
+    y = np.asarray(pos_y)
+    d_dy = lambda f: jnp.asarray(np.gradient(np.asarray(f), y, axis=-1))
+
+    mean_u, v_idx = state.u, 1
+    var = jnp.stack([state.uu[i] - mean_u[i] ** 2 for i in range(3)])
+    uv = state.uu[3] - mean_u[0] * mean_u[1]
+    # <u_i'^2 v'> from raw moments
+    tflux = jnp.stack([
+        state.uuv[i] - 2 * mean_u[i] * state.uiv[i]
+        - mean_u[v_idx] * state.uu[i if i != 1 else 1]
+        + 2 * mean_u[i] ** 2 * mean_u[v_idx]
+        for i in range(3)
+    ])
+    pv_f = state.pv - state.p * mean_u[v_idx]
+    pstrain = jnp.stack([state.pdu[i] - state.p * state.du[i]
+                         for i in range(3)])
+    # dissipation of each component: nu <|grad u_i'|^2>
+    eps = jnp.stack([
+        viscosity * (state.gg[i] - jnp.sum(state.g[i] ** 2, axis=0))
+        for i in range(3)
+    ])
+    dUdy = d_dy(mean_u[0])
+    production = jnp.stack([
+        -uv * dUdy,                      # u'u' budget
+        jnp.zeros_like(dUdy),            # v'v'
+        jnp.zeros_like(dUdy),            # w'w'
+    ])
+    scale = u_wall**4 / max(viscosity, 1e-30)  # wall-unit budget scaling
+    out = {
+        "production": production / scale,
+        "turbulent_transport": -0.5 * d_dy(tflux) / scale,
+        "viscous_diffusion": 0.5 * viscosity * d_dy(d_dy(var)) / scale,
+        "pressure_transport": jnp.stack([
+            jnp.zeros_like(dUdy), -d_dy(pv_f), jnp.zeros_like(dUdy)]) / scale,
+        "pressure_strain": pstrain / scale,
+        "dissipation": -eps / scale,
+    }
+    return out
