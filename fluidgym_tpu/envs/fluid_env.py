@@ -545,6 +545,45 @@ class FluidEnv(ABC, FluidEnvLike):
     def _set_additional_state_info(self, info: dict[str, Any]) -> None:
         pass
 
+    @property
+    def _blocks_vertex_coords(self):
+        """Per-block vertex coordinate arrays (set by ``_get_domain``
+        implementations; subclasses with a ``_build_domain`` override this)."""
+        cache = getattr(self, "_vertex_coords_cache", None)
+        if cache is None:
+            raise AttributeError(
+                "vertex coordinates are not available for this env")
+        return cache
+
+    def plot_grid(self, output_path=None, name: str | None = None,
+                  linewidth: float = 0.5):
+        """Plot the multi-block mesh wireframe (reference plot_grids,
+        pict/util/output.py:178-360; fluid_env.py:1291-1306).  3D grids are
+        plotted as their z=0 slice.  Returns (fig, ax)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        grids = [np.asarray(g) for g in self._blocks_vertex_coords]
+        if self._ndims == 3:
+            grids = [g[:2, 0] for g in grids]
+        fig, ax = plt.subplots(figsize=(10, 4))
+        colors = plt.cm.tab10.colors
+        for i, g in enumerate(grids):
+            c = colors[i % len(colors)]
+            for r in range(g.shape[1]):
+                ax.plot(g[0, r, :], g[1, r, :], color=c, linewidth=linewidth)
+            for col in range(g.shape[2]):
+                ax.plot(g[0, :, col], g[1, :, col], color=c, linewidth=linewidth)
+        ax.set_aspect("equal")
+        if output_path is not None:
+            p = Path(output_path)
+            p.mkdir(parents=True, exist_ok=True)
+            fig.savefig(p / f"{name or self.id}_grid.pdf")
+            plt.close(fig)
+        return fig, ax
+
     def _pure_carry(self):
         """The pytree threaded through ``_pure_step`` (DomainState by
         default; envs with auxiliary carried state override)."""

@@ -145,6 +145,7 @@ class RBCEnvBase(FluidEnv):
         )
         dom.set_scalar_diffusivity(self._thermal_diffusivity)
         block = dom.create_block(grid, name="RBCBlock")
+        self._vertex_coords_cache = [grid]
 
         # hot bottom / cold top plates; x (and z) periodic by default
         block.close_boundary("-y", scalar=self._T_hot)

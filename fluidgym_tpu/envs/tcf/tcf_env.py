@@ -173,6 +173,7 @@ class TCF3DBottomEnv(FluidEnv):
             init_with_noise=self._init_with_noise, rng=self._np_rng,
             dtype=self._dtype,
         )
+        self._vertex_coords_cache = [b.coords for b in dom._blocks]
         return dom.build()
 
     # wall-unit conversions (tcf_env.py:323-341)
