@@ -24,7 +24,7 @@ from fluidgym_tpu.envs.tcf import tools
 Array = jax.Array
 
 __all__ = ["VelocityStatsState", "velocity_stats_init", "velocity_stats_update",
-           "velocity_stats_finalize", "VelocityStats"]
+           "velocity_stats_finalize", "VelocityStats", "SavedRunProfile"]
 
 STAT_KEYS = ("U+", "V+", "W+", "u'+", "v'+", "w'+", "uv'+")
 
@@ -177,3 +177,30 @@ class VelocityStats:
         fig.tight_layout()
         fig.savefig(Path(path).with_suffix(f".{file_type}"))
         plt.close(fig)
+
+
+class SavedRunProfile:
+    """Reference-profile interface over a saved :class:`VelocityStats` run
+    (the reference's PISOTCFProfile, TCF_tools.py:92-323): exposes
+    ``get_full_pos_y`` / ``get_full_data`` so saved runs can be compared and
+    interpolated exactly like DNS references."""
+
+    has_vw = True  # provides V+/W+ (unlike the DNS readers)
+
+    def __init__(self, stats: "VelocityStats"):
+        self._vs = stats
+        self.Re_wall = stats.Re_wall
+        self.u_wall = stats.u_wall
+
+    @classmethod
+    def load(cls, path) -> "SavedRunProfile":
+        return cls(VelocityStats.load(path))
+
+    def get_full_pos_y(self) -> np.ndarray:
+        return np.asarray(self._vs.pos_y)
+
+    def get_full_data(self, key: str) -> np.ndarray:
+        prof = self._vs.profiles()
+        if key not in prof:
+            raise NotImplementedError(f"Unsupported profile: {key}")
+        return prof[key]
