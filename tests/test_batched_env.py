@@ -56,3 +56,28 @@ def test_batched_marl_step():
     actions = np.zeros((n_total,) + tuple(benv.action_space.shape), np.float32)
     obs, rewards, *_ = benv.step(actions)
     assert rewards.shape == (n_total,)
+
+
+def test_batched_cylinder_tuple_carry():
+    """Envs with auxiliary carried state (cylinder: last_control) batch via
+    the _pure_carry protocol."""
+    import numpy as np
+
+    from fluidgym_tpu.parallel import BatchedFluidEnv
+
+    benv = BatchedFluidEnv(
+        "CylinderJet2D-easy-v0", n_envs=3, resolution=16,
+        load_initial_domain=False, load_domain_statistics=False,
+        randomize_initial_state=False, episode_length=2,
+        step_length=0.02, dt=0.01,
+    )
+    obs, _ = benv.reset(seed=0)
+    assert obs["velocity"].shape == (3, 151, 2)
+    actions = np.zeros((3, 1), np.float32)
+    obs, rewards, term, trunc, info = benv.step(actions)
+    rewards = np.asarray(rewards)
+    assert rewards.shape == (3,)
+    assert np.isfinite(rewards).all()
+    # identical seeds across slots would differ; distinct seeds gave
+    # identical initial states here (no randomization), so rewards match
+    assert np.allclose(rewards, rewards[0])
