@@ -102,12 +102,17 @@ def cg(
     maxiter: int = 5000,
     return_best: bool = True,
     precond: Callable[[Vec], Vec] | None = None,
+    stall_iters: int = 250,
 ) -> tuple[Vec, SolveInfo]:
     """(Preconditioned) conjugate gradients on an SPD matrix-free operator.
 
     ``b`` may be an array or a pytree of arrays (multi-block fields);
     ``precond`` applies an SPD preconditioner inverse (e.g. Jacobi).
     Convergence: RMSE of the TRUE residual <= tol (NORM2_NORMALIZED).
+    ``stall_iters``: stop early when the best residual has not improved for
+    this many iterations -- fp32 cannot reach arbitrarily tight tolerances
+    (the reference falls back to fp64 instead; here ``return_best`` hands
+    back the best iterate without burning the remaining ``maxiter``).
     """
     dt = _dtype(b)
     if tol is None:
@@ -123,11 +128,12 @@ def cg(
     rs = _vdot(r, r).astype(dt)
 
     def cond(carry):
-        x, r, p, rz, rs, it, best_x, best_rs = carry
-        return jnp.logical_and(it < maxiter, rs > tol2_sum)
+        x, r, p, rz, rs, it, best_x, best_rs, best_it = carry
+        ok = jnp.logical_and(it < maxiter, rs > tol2_sum)
+        return jnp.logical_and(ok, it - best_it < stall_iters)
 
     def body(carry):
-        x, r, p, rz, rs, it, best_x, best_rs = carry
+        x, r, p, rz, rs, it, best_x, best_rs, best_it = carry
         Ap = matvec(p)
         denom = _vdot(p, Ap).astype(dt)
         tiny = jnp.asarray(1e-30, dt)
@@ -151,10 +157,12 @@ def cg(
         better = rs_new < best_rs
         best_x = _where(better, x, best_x)
         best_rs = jnp.where(better, rs_new, best_rs)
-        return x, r, p, rz_new, rs_new, it + 1, best_x, best_rs
+        best_it = jnp.where(better, it + 1, best_it)
+        return x, r, p, rz_new, rs_new, it + 1, best_x, best_rs, best_it
 
-    init = (x, r, p, rz, rs, jnp.asarray(0, jnp.int32), x, rs)
-    x, r, p, rz, rs, it, best_x, best_rs = lax.while_loop(cond, body, init)
+    init = (x, r, p, rz, rs, jnp.asarray(0, jnp.int32), x, rs,
+            jnp.asarray(0, jnp.int32))
+    x, r, p, rz, rs, it, best_x, best_rs, _ = lax.while_loop(cond, body, init)
 
     converged = rs <= tol2_sum
     if return_best:
@@ -178,6 +186,7 @@ def bicgstab(
     tol: float | None = None,
     maxiter: int = 5000,
     return_best: bool = True,
+    stall_iters: int = 250,
 ) -> tuple[Vec, SolveInfo]:
     """BiCGStab for non-symmetric matrix-free operators (advection systems).
 
@@ -199,11 +208,12 @@ def bicgstab(
     rs = _vdot(r, r).astype(dt)
 
     def cond(carry):
-        x, r, p, rho, rs, it, best_x, best_rs = carry
-        return jnp.logical_and(it < maxiter, rs > tol2_sum)
+        x, r, p, rho, rs, it, best_x, best_rs, best_it = carry
+        ok = jnp.logical_and(it < maxiter, rs > tol2_sum)
+        return jnp.logical_and(ok, it - best_it < stall_iters)
 
     def body(carry):
-        x, r, p, rho, rs, it, best_x, best_rs = carry
+        x, r, p, rho, rs, it, best_x, best_rs, best_it = carry
         v = matvec(p)
         tiny = jnp.asarray(1e-30, dt)
         denom = _vdot(r_hat, v).astype(dt)
@@ -223,10 +233,12 @@ def bicgstab(
         better = rs_new < best_rs
         best_x = _where(better, x, best_x)
         best_rs = jnp.where(better, rs_new, best_rs)
-        return x, r, p, rho_new, rs_new, it + 1, best_x, best_rs
+        best_it = jnp.where(better, it + 1, best_it)
+        return x, r, p, rho_new, rs_new, it + 1, best_x, best_rs, best_it
 
-    init = (x, r, p, rho, rs, jnp.asarray(0, jnp.int32), x, rs)
-    x, r, p, rho, rs, it, best_x, best_rs = lax.while_loop(cond, body, init)
+    init = (x, r, p, rho, rs, jnp.asarray(0, jnp.int32), x, rs,
+            jnp.asarray(0, jnp.int32))
+    x, r, p, rho, rs, it, best_x, best_rs, _ = lax.while_loop(cond, body, init)
 
     converged = rs <= tol2_sum
     if return_best:
