@@ -2,8 +2,9 @@
 examples/interfaces/gradient_based_methods.py): gradients of the reward with
 respect to the action, straight through the PISO solver.
 
-The solver is differentiable by default; for reverse-mode AD use fixed
-substeps (lax.scan) instead of the adaptive while_loop.
+The solver is differentiable by default. Adaptive substepping is also
+reverse-mode differentiable (a masked bounded lax.scan); fixed substeps are
+used here for a fully deterministic step count.
 """
 
 import jax

@@ -435,13 +435,43 @@ class TCF3DBottomEnv(FluidEnv):
         for _ in range(n_steps):
             self._run_single_step()
 
+    def get_q_criterion(self) -> Array:
+        """Q-criterion ``0.5*(|Omega|^2 - |S|^2)`` on the channel grid
+        (reference _get_q_criterion, tcf_env.py:586-660; Jeong & Hussain
+        1995)."""
+        from fluidgym_tpu.solver.sgs import velocity_gradients
+
+        G = velocity_gradients(self._state, self._geoms, self._topo)[0]
+        Gt = jnp.swapaxes(G, 0, 1)
+        S = 0.5 * (G + Gt)
+        O = 0.5 * (G - Gt)
+        return 0.5 * (jnp.sum(O**2, axis=(0, 1)) - jnp.sum(S**2, axis=(0, 1)))
+
     def _get_render_data(self, render_3d: bool, output_path: Path | None = None):
         blk = self._state.blocks[0]
         u_mag = np.asarray(jax.device_get(
             jnp.linalg.norm(blk.velocity, axis=0)))
         mid_z = u_mag.shape[0] // 2
         img = self._format_render_data(u_mag[mid_z], cmap="viridis")
-        return {"x-y-velocity": img}
+        data = {"x-y-velocity": img}
+        if render_3d:
+            from fluidgym_tpu.envs.util.visualization import render_3d_iso
+
+            q = np.asarray(jax.device_get(self.get_q_criterion()))
+            q = q.transpose(2, 1, 0)            # (X=z-axis? -> (x, y, z))
+            umag = u_mag.transpose(2, 1, 0)
+            iso = float(np.percentile(np.abs(q), 98)) or 1.0
+            out = None
+            if output_path is not None:
+                out = output_path / f"q_criterion_{self._n_episodes}_{self._n_steps}.png"
+            data["3d_q_criterion"] = render_3d_iso(
+                iso_field=q, iso=[iso], color_field=umag,
+                color_range=(0.0, float(umag.max()) or 1.0),
+                output_path=out,
+                extent=((0.0, self._L), (-1.0, 1.0), (0.0, self._D)),
+                view_kwargs={"elev": 20, "azim": 45},
+            )
+        return data
 
     @property
     def initial_domain_id(self) -> str:
