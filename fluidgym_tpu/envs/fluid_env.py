@@ -392,8 +392,9 @@ class FluidEnv(ABC, FluidEnvLike):
     # ------------------------------------------------------------------
     # initial state
     # ------------------------------------------------------------------
-    def _initial_domain_path(self, mode: EnvMode, idx: int) -> Path:
-        return (data_utils.initial_domain_dir(self.initial_domain_id)
+    def _initial_domain_path(self, mode: EnvMode, idx: int,
+                             write: bool = False) -> Path:
+        return (data_utils.initial_domain_dir(self.initial_domain_id, write=write)
                 / f"{mode.value}_{idx:02d}")
 
     def _load_initial_domain(self, mode: EnvMode, idx: int):
@@ -401,7 +402,7 @@ class FluidEnv(ABC, FluidEnvLike):
 
     def _save_initial_domain(self, mode: EnvMode, idx: int) -> None:
         save_domain(self._topo, self._geoms, self._state,
-                    self._initial_domain_path(mode, idx))
+                    self._initial_domain_path(mode, idx, write=True))
 
     def _check_initial_domains_exist(self, mode: EnvMode | None = None,
                                      idx: int | None = None) -> bool:

@@ -30,8 +30,23 @@ __all__ = [
 ]
 
 
-def initial_domain_dir(initial_domain_id: str) -> Path:
-    return config.data_path / "initial_domains" / initial_domain_id
+#: datasets bundled with the package (checked after the user data path)
+BUNDLED_DATA = Path(__file__).resolve().parent.parent / "data"
+
+
+def initial_domain_dir(initial_domain_id: str, write: bool = False) -> Path:
+    """Directory of an initial-domain dataset.
+
+    Reads fall back to datasets bundled under ``fluidgym_tpu/data/`` when the
+    user data path has no copy; writes (``env.init()``) always target the
+    user data path."""
+    user = config.data_path / "initial_domains" / initial_domain_id
+    if write or (user.exists() and any(user.iterdir())):
+        return user
+    bundled = BUNDLED_DATA / "initial_domains" / initial_domain_id
+    if bundled.exists() and any(bundled.iterdir()):
+        return bundled
+    return user
 
 
 def prepare_initial_domains(initial_domain_id: str) -> Path:
@@ -62,7 +77,7 @@ def prepare_initial_domains(initial_domain_id: str) -> Path:
 
 def save_statistics(initial_domain_id: str, statistics: dict) -> None:
     """Write per-domain metric statistics (reference data_utils.py:66-99)."""
-    target = initial_domain_dir(initial_domain_id)
+    target = initial_domain_dir(initial_domain_id, write=True)
     target.mkdir(parents=True, exist_ok=True)
     with open(target / "domain_statistics.json", "w") as fh:
         json.dump(statistics, fh, indent=1)
@@ -81,7 +96,7 @@ def save_uncontrolled_episode(
 ) -> None:
     """CSV of per-step metrics of an uncontrolled episode
     (reference data_utils.py:101-136)."""
-    target = initial_domain_dir(initial_domain_id)
+    target = initial_domain_dir(initial_domain_id, write=True)
     target.mkdir(parents=True, exist_ok=True)
     path = target / f"{mode}_{idx:02d}_uncontrolled_episode.csv"
     if not rows:
