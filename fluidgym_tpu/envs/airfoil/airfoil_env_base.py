@@ -30,7 +30,6 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
-from gymnasium import spaces
 
 from fluidgym_tpu.core.domain import DomainState
 from fluidgym_tpu.envs.airfoil.grid import get_jet_locations, make_airfoil_domain, read_airfoil

@@ -34,7 +34,6 @@ import jax.numpy as jnp
 import numpy as np
 from gymnasium import spaces
 
-from fluidgym_tpu.core import geometry as geo
 from fluidgym_tpu.core.domain import DomainState
 from fluidgym_tpu.envs.cylinder.grid import make_vortex_street_domain
 from fluidgym_tpu.envs.fluid_env import FluidEnv, Stats

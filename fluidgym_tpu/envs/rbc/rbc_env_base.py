@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fluidgym_tpu.core import geometry as geo
-from fluidgym_tpu.core.domain import BCType, DomainBuilder, DomainState
+from fluidgym_tpu.core.domain import DomainBuilder, DomainState
 from fluidgym_tpu.envs.fluid_env import FluidEnv
 from fluidgym_tpu.envs.util.resample import make_rectilinear_plan
 from fluidgym_tpu.solver.piso import ADAPTIVE, Hooks, SimConfig

@@ -14,8 +14,6 @@ from pathlib import Path
 
 import numpy as np
 
-from fluidgym_tpu.envs.tcf import tools as TCF_tools
-
 __all__ = ["TorrojaProfile", "OpenFOAMProfile", "TorrojaBalances", "TorrojaSpectra"]
 
 _FULL_KEYS = ("U+", "u'+", "v'+", "w'+", "uv'+", "p'")

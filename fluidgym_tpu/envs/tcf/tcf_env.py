@@ -22,16 +22,14 @@ from __future__ import annotations
 
 from dataclasses import replace
 from pathlib import Path
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from gymnasium import spaces
 
-from fluidgym_tpu.core import geometry as geo
 from fluidgym_tpu.core.domain import DomainState
-from fluidgym_tpu.envs.fluid_env import FluidEnv, Stats
+from fluidgym_tpu.envs.fluid_env import FluidEnv
 from fluidgym_tpu.envs.tcf import tools as TCF_tools
 from fluidgym_tpu.envs.tcf.grid import (
     make_channel_flow_domain,

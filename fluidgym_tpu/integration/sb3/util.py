@@ -16,7 +16,6 @@ from pathlib import Path
 
 import numpy as np
 
-from fluidgym_tpu.integration.gymnasium import GymFluidEnv
 from fluidgym_tpu.integration.sb3.vec_env import VecFluidEnv
 
 logger = logging.getLogger("fluidgym_tpu.integration.sb3")

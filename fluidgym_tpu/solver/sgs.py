@@ -17,13 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from fluidgym_tpu.core.domain import (
-    BlockGeom,
     BoundKind,
     DomainState,
     DomainTopo,
-    face_axis,
 )
-from fluidgym_tpu.solver.stencil import _face_slab, _neighbor_field, _slab
+from fluidgym_tpu.solver.stencil import _face_slab, _neighbor_field
 
 Array = jax.Array
 

@@ -19,8 +19,6 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import tempfile
-
 import jax
 import pytest
 
