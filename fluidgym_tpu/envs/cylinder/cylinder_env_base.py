@@ -197,6 +197,14 @@ class CylinderEnvBase(WallForcesMixin, FluidEnv):
             velocity_corrector="FD",
             non_orthogonal=True,
             differentiable=self._differentiable,
+            # RL stepping path: warm-start pressure CG from the previous
+            # pressure with a coarse-space (deflation) correction of the
+            # guess -- 3x measured env-step throughput at matched shedding
+            # physics (St/cl_rms unchanged, cd within 0.7%; see
+            # solver/piso.py:_make_deflation_x0).  The differentiable path
+            # keeps cold starts (validated gradients).
+            pressure_warm_start=not self._differentiable,
+            pressure_deflation=not self._differentiable,
         )
 
     def _additional_initialization(self) -> None:

@@ -201,6 +201,10 @@ class RBCEnvBase(FluidEnv):
             velocity_corrector="FD",
             non_orthogonal=False,
             differentiable=self._differentiable,
+            # see cylinder_env_base: warm+deflated pressure starts on the
+            # RL stepping path
+            pressure_warm_start=not self._differentiable,
+            pressure_deflation=not self._differentiable,
         )
 
     def _additional_initialization(self) -> None:

@@ -22,10 +22,24 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 import pytest
 
+# The axon sitecustomize pre-imports jax at interpreter startup, so the env
+# vars above can be too late for platform selection in THIS process (they
+# still protect subprocesses).  Force the platform through the live config:
+# this takes effect as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
+
 # persistent compilation cache: the heavy PISO-step compilations are reused
 # across test sessions
 jax.config.update("jax_compilation_cache_dir", "/tmp/fluidgym_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the host CPU backend (the TPU is single-tenant and "
+    "reserved for benchmarks/validation)"
+)
+assert len(jax.devices()) >= 8, (
+    "xla_force_host_platform_device_count=8 did not take effect"
+)
 
 
 @pytest.fixture(autouse=True)
