@@ -111,6 +111,12 @@ class SimConfig:
     # accumulates across substeps and destabilizes the coupled PISO iteration
     # (observed as a t~0.1 blow-up on the cylinder; cold starts are stable).
     pressure_warm_start: bool = False
+    # Krylov stagnation patience for the pressure solves: stop when the best
+    # residual has not improved for this many iterations.  Do not trim this
+    # aggressively: on the airfoil (fp32-unreachable 1e-7 tolerance) patience
+    # 120 is ~15% SLOWER end-to-end than 250 (poorer pressure solutions cost
+    # more in subsequent coupled solves) and patience 60 diverges.
+    pressure_stall_iters: int = 250
     # Static bound on CFL substeps per env dt in DIFFERENTIABLE adaptive mode
     # (reverse-mode AD cannot differentiate a dynamic while_loop, so the
     # adaptive loop becomes a masked lax.scan of this fixed length; converged
@@ -138,7 +144,7 @@ def _run_hooks(hooks: Hooks | None, name: str, state: DomainState, **kw) -> Doma
 
 def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
            return_best, differentiable=True, x0=None, precondition=False,
-           x0_fn=None):
+           x0_fn=None, stall_iters=250):
     """Differentiable global linear solve over all blocks.
 
     ``lax.custom_linear_solve`` supplies the implicit-function gradient: the
@@ -167,7 +173,8 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
         if not differentiable:
             guess = x0_fn(b) if x0_fn is not None else x0
             return linsolve.cg(mv, b, x0=guess, tol=tol, maxiter=maxiter,
-                               return_best=return_best, precond=precond_fn)[0]
+                               return_best=return_best, precond=precond_fn,
+                               stall_iters=stall_iters)[0]
 
         def solve_fn(mv_fn, bb):
             guess = x0_fn(bb) if x0_fn is not None else None
@@ -405,6 +412,7 @@ def piso_substep(
             if (cfg.pressure_warm_start and defl is None) else None,
             precondition=cfg.pressure_precondition,
             x0_fn=x0_fn,
+            stall_iters=cfg.pressure_stall_iters,
         )
         if cfg.normalize_pressure_result:
             mean = _global_mean(pressures)
