@@ -53,7 +53,8 @@ from fluidgym_tpu.solver import stencil as st
 Array = jax.Array
 
 __all__ = ["SimConfig", "Hooks", "piso_substep", "piso_adaptive_step",
-           "piso_fixed_steps", "single_step", "make_divergence_free"]
+           "piso_fixed_steps", "single_step", "make_divergence_free",
+           "advect_static", "get_max_time_step"]
 
 Hooks = dict[str, tuple[Callable[..., DomainState], ...]]
 
@@ -278,6 +279,56 @@ def _global_mean(xs) -> Array:
     return total / count
 
 
+def _advect_scalars(
+    state: DomainState,
+    geoms: tuple[BlockGeom, ...],
+    topo: DomainTopo,
+    cfg: SimConfig,
+    dt: Array,
+) -> DomainState:
+    """Implicit advection-diffusion solve of every passive-scalar channel
+    with the velocity field frozen (the scalar stage of _PISO_split_step,
+    PISOtorch_simulation.py:1471-1644)."""
+    nblocks = len(topo.blocks)
+    new_scalars = [[] for _ in range(nblocks)]
+    for c in range(topo.scalar_channels):
+        kappa = state.scalar_diffusivity[c]
+        ops = st.build_advection_ops(
+            state, geoms, topo, kappa, dt, for_scalar=True, scalar_channel=c
+        )
+        rhs = st.advection_rhs_scalar(state, geoms, topo, kappa, dt, c)
+        if cfg.non_orthogonal:
+            ones = tuple(jnp.ones_like(g.det) for g in geoms)
+            ops = nonortho.apply_matrix_terms(
+                ops, geoms, topo, tuple(o * kappa for o in ones),
+                det_divide=True, field="scalar", scalar_channel=c,
+            )
+            S = nonortho.deferred_rhs(
+                tuple(blk.scalar[c] for blk in state.blocks), geoms, topo,
+                ones, field="scalar",
+                bval_fn=lambda b, f, _c=c: state.blocks[b].faces[f].scalar[_c],
+                scalar_channel=c,
+            )
+            rhs = tuple(
+                r - s * kappa / g.det for r, s, g in zip(rhs, S, geoms)
+            )
+        res = _solve(
+            ops, rhs, topo,
+            tol=cfg.advection_tol, maxiter=cfg.advection_maxiter,
+            symmetric=False, use_bicg=cfg.advection_use_bicg,
+            return_best=False, differentiable=cfg.differentiable,
+            x0=tuple(blk.scalar[c] for blk in state.blocks)
+            if cfg.warm_start else None,
+        )
+        for b in range(nblocks):
+            new_scalars[b].append(res[b])
+    for b in range(nblocks):
+        state = state.replace_block(
+            b, replace(state.blocks[b], scalar=jnp.stack(new_scalars[b], axis=0))
+        )
+    return state
+
+
 def piso_substep(
     state: DomainState,
     geoms: tuple[BlockGeom, ...],
@@ -293,42 +344,7 @@ def piso_substep(
 
     # ---- scalar advection (PISOtorch_simulation.py:1471-1644) -------------
     if cfg.advect_passive_scalar and topo.has_scalar and state.blocks[0].scalar is not None:
-        new_scalars = [[] for _ in range(nblocks)]
-        for c in range(topo.scalar_channels):
-            kappa = state.scalar_diffusivity[c]
-            ops = st.build_advection_ops(
-                state, geoms, topo, kappa, dt, for_scalar=True, scalar_channel=c
-            )
-            rhs = st.advection_rhs_scalar(state, geoms, topo, kappa, dt, c)
-            if cfg.non_orthogonal:
-                ones = tuple(jnp.ones_like(g.det) for g in geoms)
-                ops = nonortho.apply_matrix_terms(
-                    ops, geoms, topo, tuple(o * kappa for o in ones),
-                    det_divide=True, field="scalar", scalar_channel=c,
-                )
-                S = nonortho.deferred_rhs(
-                    tuple(blk.scalar[c] for blk in state.blocks), geoms, topo,
-                    ones, field="scalar",
-                    bval_fn=lambda b, f, _c=c: state.blocks[b].faces[f].scalar[_c],
-                    scalar_channel=c,
-                )
-                rhs = tuple(
-                    r - s * kappa / g.det for r, s, g in zip(rhs, S, geoms)
-                )
-            res = _solve(
-                ops, rhs, topo,
-                tol=cfg.advection_tol, maxiter=cfg.advection_maxiter,
-                symmetric=False, use_bicg=cfg.advection_use_bicg,
-                return_best=False, differentiable=cfg.differentiable,
-                x0=tuple(blk.scalar[c] for blk in state.blocks)
-                if cfg.warm_start else None,
-            )
-            for b in range(nblocks):
-                new_scalars[b].append(res[b])
-        for b in range(nblocks):
-            state = state.replace_block(
-                b, replace(state.blocks[b], scalar=jnp.stack(new_scalars[b], axis=0))
-            )
+        state = _advect_scalars(state, geoms, topo, cfg, dt)
 
     # ---- velocity prediction (PISOtorch_simulation.py:1646-1762) ----------
     state = _run_hooks(hooks, "PRE_VELOCITY_SETUP", state, time_step=dt)
@@ -589,3 +605,44 @@ def make_divergence_free(
                 b, replace(state.blocks[b], velocity=vel[b], pressure=pressures[b])
             )
     return state
+
+
+def advect_static(
+    state: DomainState,
+    geoms: tuple[BlockGeom, ...],
+    topo: DomainTopo,
+    cfg: SimConfig,
+    dt: Array,
+    iterations: int = 1,
+    hooks: Hooks | None = None,
+) -> DomainState:
+    """Scalar-only advection: advance the passive-scalar channels with the
+    velocity field frozen (reference Simulation.advect_static,
+    PISOtorch_simulation.py:1184-1318).  Runs the PRE hook each iteration,
+    like the reference's prep_fn dispatch."""
+    if not (topo.has_scalar and state.blocks[0].scalar is not None):
+        raise ValueError("Domain has no passive scalar to advect.")
+    dt = jnp.asarray(dt, state.blocks[0].velocity.dtype)
+    for _ in range(iterations):
+        state = _run_hooks(hooks, "PRE", state, time_step=dt)
+        state = _advect_scalars(state, geoms, topo, cfg, dt)
+    return state
+
+
+def get_max_time_step(
+    state: DomainState,
+    geoms: tuple[BlockGeom, ...],
+    topo: DomainTopo,
+    time_step_target,
+    cfl: float = 0.8,
+):
+    """CFL-limited substep size for a target step: returns ``(ts, substeps)``
+    with ``ts * substeps == time_step_target`` (reference get_max_time_step,
+    PISOtorch_simulation.py:42-54; computed on-device, no host sync)."""
+    time_step_target = jnp.asarray(
+        time_step_target, state.blocks[0].velocity.dtype)
+    max_vel = st.max_computational_velocity(state, geoms, topo)
+    max_ts = jnp.where(
+        max_vel > 1e-30, cfl / jnp.maximum(max_vel, 1e-30), time_step_target)
+    substeps = jnp.maximum(jnp.ceil(time_step_target / max_ts), 1.0)
+    return time_step_target / substeps, substeps.astype(jnp.int32)

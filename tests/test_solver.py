@@ -182,3 +182,44 @@ def test_gradient_through_step_finite_difference():
     fd = (f_plus - f_minus) / (2 * eps)
     analytic = float(jnp.vdot(g, direction))
     assert abs(fd - analytic) / (abs(fd) + 1e-6) < 5e-2
+
+
+def test_advect_static_scalar_only():
+    """advect_static advances the scalar with velocity frozen
+    (reference Simulation.advect_static, PISOtorch_simulation.py:1184)."""
+    import fluidgym_tpu
+    from fluidgym_tpu.solver.piso import advect_static
+
+    env = fluidgym_tpu.make(
+        "RBC2D-easy-v0", n_heaters=4, resolution=4,
+        load_initial_domain=False, load_domain_statistics=False,
+        randomize_initial_state=False, episode_length=3,
+        step_length=0.1, dt=0.05, local_obs_window=3)
+    env.reset(seed=0)
+    s0 = env._state
+    s1 = jax.jit(lambda s: advect_static(
+        s, env._geoms, env._topo, env._cfg, 0.05, iterations=2))(s0)
+    # velocity and pressure untouched; scalar advanced and finite
+    np.testing.assert_array_equal(np.asarray(s1.blocks[0].velocity),
+                                  np.asarray(s0.blocks[0].velocity))
+    np.testing.assert_array_equal(np.asarray(s1.blocks[0].pressure),
+                                  np.asarray(s0.blocks[0].pressure))
+    d = np.abs(np.asarray(s1.blocks[0].scalar) - np.asarray(s0.blocks[0].scalar))
+    assert d.max() > 1e-6
+    assert np.isfinite(np.asarray(s1.blocks[0].scalar)).all()
+
+
+def test_get_max_time_step():
+    import fluidgym_tpu
+    from fluidgym_tpu.solver.piso import get_max_time_step
+
+    env = fluidgym_tpu.make(
+        "RBC2D-easy-v0", n_heaters=4, resolution=4,
+        load_initial_domain=False, load_domain_statistics=False,
+        randomize_initial_state=False, episode_length=3,
+        step_length=0.1, dt=0.05, local_obs_window=3)
+    env.reset(seed=0)
+    ts, ss = get_max_time_step(env._state, env._geoms, env._topo, 0.5, cfl=0.1)
+    ts, ss = float(ts), int(ss)
+    assert ss >= 1 and ts > 0
+    np.testing.assert_allclose(ts * ss, 0.5, rtol=1e-5)
