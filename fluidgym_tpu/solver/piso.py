@@ -118,6 +118,13 @@ class SimConfig:
     # 120 is ~15% SLOWER end-to-end than 250 (poorer pressure solutions cost
     # more in subsequent coupled solves) and patience 60 diverges.
     pressure_stall_iters: int = 250
+    # Additive 2-level preconditioner for the pressure CG: M^-1 r =
+    # D^-1 r + W E^+ W^T r (Jacobi smoother + coarse-space solve over the
+    # per-block constant+linear modes).  SPD, constant within a solve, and
+    # the setup is stop_gradient-ed, so it is valid on both the RL and the
+    # differentiable paths.  Targets cold-started / stagnation-bound solves
+    # where the slow coarse modes dominate the iteration count.
+    pressure_coarse_precondition: bool = False
     # Static bound on CFL substeps per env dt in DIFFERENTIABLE adaptive mode
     # (reverse-mode AD cannot differentiate a dynamic while_loop, so the
     # adaptive loop becomes a masked lax.scan of this fixed length; converged
@@ -145,7 +152,7 @@ def _run_hooks(hooks: Hooks | None, name: str, state: DomainState, **kw) -> Doma
 
 def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
            return_best, differentiable=True, x0=None, precondition=False,
-           x0_fn=None, stall_iters=250):
+           x0_fn=None, stall_iters=250, coarse_fn=None):
     """Differentiable global linear solve over all blocks.
 
     ``lax.custom_linear_solve`` supplies the implicit-function gradient: the
@@ -166,9 +173,16 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
     precond_fn = None
     if precondition:
         inv_diag = tuple(1.0 / op.diag for op in ops)
-
-        def precond_fn(rs):
-            return tuple(d * r for d, r in zip(inv_diag, rs))
+        if coarse_fn is None:
+            def precond_fn(rs):
+                return tuple(d * r for d, r in zip(inv_diag, rs))
+        else:
+            def precond_fn(rs):
+                cg = coarse_fn(rs)
+                return tuple(d * r + c
+                             for d, r, c in zip(inv_diag, rs, cg))
+    elif coarse_fn is not None:
+        precond_fn = coarse_fn
 
     if symmetric and not use_bicg:
         if not differentiable:
@@ -229,17 +243,14 @@ def _deflation_basis(topo: DomainTopo, dtype):
     return [jnp.stack([c[b] for c in cols]) for b in range(nblocks)]
 
 
-def _make_deflation_x0(p_ops, topo: DomainTopo, dtype):
-    """Build ``x0_fn(b, base=None)`` for the pressure solves of one substep
-    (E = W^T A W computed once with k vmapped matvecs).
-
-    Without ``base``: the coarse solution ``W E^+ W^T b``.  With ``base`` (a
-    warm-start guess, e.g. the previous pressure): the coarse-corrected guess
-    ``base + W E^+ W^T (b - A base)`` -- the base supplies the high-frequency
-    content cheaply while the coarse correction removes exactly the
-    low-frequency residual component that plain warm starts inherit (the
-    residual stopping criterion barely sees it, but A^-1 amplifies it, which
-    biased the cylinder drag by ~1.8% with plain warm starts at tol 1e-5)."""
+def _make_coarse_solver(p_ops, topo: DomainTopo, dtype):
+    """Coarse-space solve ``r -> W E^+ W^T r`` over the per-block
+    constant+linear deflation basis (E = W^T A W computed once with k vmapped
+    matvecs).  The whole setup runs under ``stop_gradient``: the coarse solve
+    only steers Krylov iterate paths (initial guesses, preconditioning), so
+    its gradient contribution is exactly zero -- differentiating the setup
+    graph (vmapped matvecs + pinv) was measured 5.6x slower in the backward
+    pass with no change to the gradient."""
     Wstack = _deflation_basis(topo, dtype)
 
     def apply_cols(*cols):
@@ -248,6 +259,7 @@ def _make_deflation_x0(p_ops, topo: DomainTopo, dtype):
     AWstack = jax.vmap(apply_cols)(*Wstack)  # tuple of (k, *shape)
     E = sum(jnp.einsum("i...,j...->ij", w, aw)
             for w, aw in zip(Wstack, AWstack))
+    E = lax.stop_gradient(E)
     # the global constant lies in the operator nullspace -> E is singular;
     # symmetrically normalize (blocks differ in size/coefficients by orders
     # of magnitude) and pseudo-invert
@@ -255,18 +267,37 @@ def _make_deflation_x0(p_ops, topo: DomainTopo, dtype):
     E_n = E * d[:, None] * d[None, :]
     En_inv = jnp.linalg.pinv(E_n, rcond=1e-5)
 
+    def coarse(r):
+        rhs_c = sum(jnp.einsum("i...,...->i", w, rr)
+                    for w, rr in zip(Wstack, r))
+        c = d * (En_inv @ (d * rhs_c))
+        return tuple(jnp.einsum("i,i...->...", c, w) for w in Wstack)
+
+    return coarse
+
+
+def _make_deflation_x0(p_ops, topo: DomainTopo, dtype, coarse=None):
+    """Build ``x0_fn(b, base=None)`` for the pressure solves of one substep.
+
+    Without ``base``: the coarse solution ``W E^+ W^T b``.  With ``base`` (a
+    warm-start guess, e.g. the previous pressure): the coarse-corrected guess
+    ``base + W E^+ W^T (b - A base)`` -- the base supplies the high-frequency
+    content cheaply while the coarse correction removes exactly the
+    low-frequency residual component that plain warm starts inherit (the
+    residual stopping criterion barely sees it, but A^-1 amplifies it, which
+    biased the cylinder drag by ~1.8% with plain warm starts at tol 1e-5)."""
+    if coarse is None:
+        coarse = _make_coarse_solver(p_ops, topo, dtype)
+
     def x0_fn(b, base=None):
         r = b
         if base is not None:
             Abase = st.domain_apply(p_ops, base, topo)
             r = tuple(bb - ab for bb, ab in zip(b, Abase))
-        rhs_c = sum(jnp.einsum("i...,...->i", w, rr)
-                    for w, rr in zip(Wstack, r))
-        c = d * (En_inv @ (d * rhs_c))
-        coarse = tuple(jnp.einsum("i,i...->...", c, w) for w in Wstack)
+        cg = coarse(r)
         if base is None:
-            return coarse
-        return tuple(bb + cc for bb, cc in zip(base, coarse))
+            return cg
+        return tuple(bb + cc for bb, cc in zip(base, cg))
 
     return x0_fn
 
@@ -390,8 +421,16 @@ def piso_substep(
         inv_a = tuple(1.0 / a for a in adiags)
     pressures = tuple(blk.pressure for blk in state.blocks)
     defl = None
-    if cfg.pressure_deflation and not cfg.pressure_use_bicg:
-        defl = _make_deflation_x0(p_ops, topo, state.blocks[0].pressure.dtype)
+    coarse_fn = None
+    if ((cfg.pressure_deflation or cfg.pressure_coarse_precondition)
+            and not cfg.pressure_use_bicg):
+        coarse = _make_coarse_solver(
+            p_ops, topo, state.blocks[0].pressure.dtype)
+        if cfg.pressure_deflation:
+            defl = _make_deflation_x0(
+                p_ops, topo, state.blocks[0].pressure.dtype, coarse=coarse)
+        if cfg.pressure_coarse_precondition:
+            coarse_fn = coarse
     for _ in range(cfg.corrector_steps):
         if defl is not None:
             x0_fn = functools.partial(
@@ -429,6 +468,7 @@ def piso_substep(
             precondition=cfg.pressure_precondition,
             x0_fn=x0_fn,
             stall_iters=cfg.pressure_stall_iters,
+            coarse_fn=coarse_fn,
         )
         if cfg.normalize_pressure_result:
             mean = _global_mean(pressures)

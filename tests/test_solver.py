@@ -223,3 +223,49 @@ def test_get_max_time_step():
     ts, ss = float(ts), int(ss)
     assert ss >= 1 and ts > 0
     np.testing.assert_allclose(ts * ss, 0.5, rtol=1e-5)
+
+
+def test_coarse_preconditioner_same_solution_fewer_iters():
+    """Additive Jacobi+coarse preconditioning must not change the solution
+    and should cut iterations on a cold Poisson solve."""
+    import fluidgym_tpu
+    from fluidgym_tpu.solver import linsolve
+    from fluidgym_tpu.solver import stencil as st_mod
+    from fluidgym_tpu.solver.piso import _make_coarse_solver
+
+    env = fluidgym_tpu.make(
+        "RBC2D-easy-v0", n_heaters=4, resolution=8,
+        load_initial_domain=False, load_domain_statistics=False,
+        randomize_initial_state=False, episode_length=3,
+        step_length=0.1, dt=0.05, local_obs_window=3)
+    env.reset(seed=0)
+    s, geoms, topo = env._state, env._geoms, env._topo
+
+    adiags = tuple(jnp.ones_like(g.det) for g in geoms)
+    p_ops = st_mod.build_pressure_ops(adiags, geoms, topo)
+    div = st_mod.divergence_of(
+        tuple(b.velocity for b in s.blocks), s, geoms, topo)
+    rhs = tuple(-d for d in div)
+    mean = sum(jnp.sum(r) for r in rhs) / sum(r.size for r in rhs)
+    rhs = tuple(r - mean for r in rhs)
+
+    inv_diag = tuple(1.0 / op.diag for op in p_ops)
+    coarse = _make_coarse_solver(p_ops, topo, jnp.float32)
+
+    def jac(rs):
+        return tuple(d * r for d, r in zip(inv_diag, rs))
+
+    def jac_coarse(rs):
+        cg = coarse(rs)
+        return tuple(d * r + c for d, r, c in zip(inv_diag, rs, cg))
+
+    def mv(xs):
+        return st_mod.domain_apply(p_ops, xs, topo)
+
+    x1, i1 = linsolve.cg(mv, rhs, tol=5e-6, maxiter=2000, precond=jac)
+    x2, i2 = linsolve.cg(mv, rhs, tol=5e-6, maxiter=2000, precond=jac_coarse)
+    assert bool(i1.converged) and bool(i2.converged)
+    assert int(i2.iterations) <= int(i1.iterations)
+    # same solution up to the nullspace constant
+    d0 = np.asarray(x1[0]) - np.asarray(x2[0])
+    assert np.abs(d0 - d0.mean()).max() < 5e-4
