@@ -290,14 +290,23 @@ def _make_deflation_x0(p_ops, topo: DomainTopo, dtype, coarse=None):
         coarse = _make_coarse_solver(p_ops, topo, dtype)
 
     def x0_fn(b, base=None):
-        r = b
-        if base is not None:
-            Abase = st.domain_apply(p_ops, base, topo)
-            r = tuple(bb - ab for bb, ab in zip(b, Abase))
-        cg = coarse(r)
         if base is None:
-            return cg
-        return tuple(bb + cc for bb, cc in zip(base, cg))
+            return coarse(b)
+        # SELF-GATING warm start: during rough transients consecutive
+        # pressures differ wildly and the inherited guess destabilizes the
+        # coupled PISO iteration (observed as a t~9 blow-up on the res-48
+        # cylinder).  Use the previous pressure only when it is no worse a
+        # guess than zero, i.e. ||b - A base|| <= ||b||; otherwise fall back
+        # to the pure coarse (deflation) start.  One extra reduction; the
+        # matvec is needed for the coarse correction anyway.
+        Abase = st.domain_apply(p_ops, base, topo)
+        rb = tuple(bb - ab for bb, ab in zip(b, Abase))
+        use_base = (sum(jnp.vdot(r, r) for r in rb)
+                    <= sum(jnp.vdot(bb, bb) for bb in b))
+        sel = tuple(jnp.where(use_base, ba, jnp.zeros_like(ba)) for ba in base)
+        r = tuple(jnp.where(use_base, rr, bb) for rr, bb in zip(rb, b))
+        cg = coarse(r)
+        return tuple(ss + cc for ss, cc in zip(sel, cg))
 
     return x0_fn
 
