@@ -47,6 +47,11 @@ def make_mesh(n_dp: int | None = None, n_sp: int = 1,
     devices = np.asarray(devices if devices is not None else jax.devices())
     if n_dp is None:
         n_dp = len(devices) // n_sp
+    if n_dp < 1 or n_sp < 1 or n_dp * n_sp > len(devices):
+        raise ValueError(
+            f"mesh {n_dp}x{n_sp} does not fit the {len(devices)} available "
+            f"devices"
+        )
     return Mesh(devices[: n_dp * n_sp].reshape(n_dp, n_sp), ("dp", "sp"))
 
 

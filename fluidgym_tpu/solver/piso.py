@@ -79,11 +79,16 @@ class SimConfig:
     pressure_return_best_result: bool = False
     pressure_time_step_normalized: bool = False
     velocity_corrector: str = "FD"
+    # Accepted for reference parity (Simulation advect_use_BiCG); the
+    # advection-diffusion matrix is non-symmetric, so BiCGStab is ALWAYS
+    # used for advection/scalar solves regardless of this flag
     advection_use_bicg: bool = True
-    # BiCGStab for the pressure system: the reference always uses CG
-    # (pressure_use_BiCG=False) with an fp64 fallback crutch; with
-    # non-orthogonal corrections the matrix is mildly non-symmetric and
-    # fp32 CG can stall/diverge, so non-ortho configs default to BiCGStab
+    # BiCGStab for the pressure system (reference pressure_use_BiCG).
+    # Since the non-orthogonal pressure coupling moved fully to the RHS
+    # (flux-form deferred), build_pressure_ops is exactly SPD and CG is
+    # always safe -- this flag exists for parity/experiments only, and the
+    # preconditioning/deflation options below do not apply to BiCGStab
+    # (validated in __post_init__)
     pressure_use_bicg: bool = False
     advect_passive_scalar: bool = True
     non_orthogonal: bool = False
@@ -138,6 +143,14 @@ class SimConfig:
                 "only the FD velocity corrector is implemented (the reference "
                 "env presets all use velocity_corrector='FD')"
             )
+        if self.pressure_use_bicg and (
+            self.pressure_deflation or self.pressure_coarse_precondition
+        ):
+            raise ValueError(
+                "pressure_deflation / pressure_coarse_precondition require "
+                "the CG pressure solver (pressure_use_bicg=False); BiCGStab "
+                "has no deflation/preconditioning support"
+            )
 
 
 def _run_hooks(hooks: Hooks | None, name: str, state: DomainState, **kw) -> DomainState:
@@ -182,7 +195,11 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                 return tuple(d * r + c
                              for d, r, c in zip(inv_diag, rs, cg))
     elif coarse_fn is not None:
-        precond_fn = coarse_fn
+        # never install the rank-k coarse solve alone: it is singular
+        # outside the coarse space and freezes PCG; add the identity
+        def precond_fn(rs):
+            cg = coarse_fn(rs)
+            return tuple(r + c for r, c in zip(rs, cg))
 
     if symmetric and not use_bicg:
         if not differentiable:
@@ -194,21 +211,25 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
         def solve_fn(mv_fn, bb):
             guess = x0_fn(bb) if x0_fn is not None else None
             return linsolve.cg(mv_fn, bb, x0=guess, tol=tol, maxiter=maxiter,
-                               return_best=return_best, precond=precond_fn)[0]
+                               return_best=return_best, precond=precond_fn,
+                               stall_iters=stall_iters)[0]
 
         return lax.custom_linear_solve(mv, b, solve_fn, symmetric=True)
 
     if not differentiable:
         return linsolve.bicgstab(mv, b, x0=x0, tol=tol, maxiter=maxiter,
-                                 return_best=return_best)[0]
+                                 return_best=return_best,
+                                 stall_iters=stall_iters)[0]
 
     def solve_fn(mv_fn, bb):
         return linsolve.bicgstab(mv_fn, bb, tol=tol, maxiter=maxiter,
-                                 return_best=return_best)[0]
+                                 return_best=return_best,
+                                 stall_iters=stall_iters)[0]
 
     def tsolve_fn(vecmat, bb):
         return linsolve.bicgstab(vecmat, bb, tol=tol, maxiter=maxiter,
-                                 return_best=return_best)[0]
+                                 return_best=return_best,
+                                 stall_iters=stall_iters)[0]
 
     return lax.custom_linear_solve(mv, b, solve_fn, tsolve_fn)
 
@@ -533,38 +554,48 @@ def piso_adaptive_step(
         return remaining / substeps
 
     if cfg.differentiable:
-        def body(carry, _):
+        n_scan = cfg.diff_adaptive_max_substeps
+
+        def body(carry, i):
             s, remaining = carry
             done = remaining <= eps
-            ts = cfl_ts(s, remaining)
-            # keep the (discarded) dummy step numerically safe: det/ts must
-            # stay finite even when remaining is 0
-            ts_safe = jnp.where(done, jnp.ones_like(ts), ts)
+            # guarantee the scan CONSUMES time_target even when the CFL asks
+            # for more substeps than remain: stretch to remaining/(n_scan-i)
+            # (mild CFL excess) rather than silently dropping simulated time,
+            # which would desynchronize the env clock from the state.
+            iters_left = jnp.asarray(n_scan - i, remaining.dtype)
+            ts = jnp.maximum(cfl_ts(s, remaining), remaining / iters_left)
+            # keep the (discarded) dummy step numerically safe AND small:
+            # under vmap the cond lowers to a select, so done lanes still
+            # execute the substep -- a large dummy dt can overflow fp32 and
+            # 0*NaN would poison reverse-mode cotangents of the whole batch
+            ts_safe = jnp.where(
+                done, jnp.asarray(cfg.dt / n_scan, ts.dtype), ts)
             s = lax.cond(
                 done,
                 lambda s_, ts_: s_,
                 lambda s_, ts_: piso_substep(s_, geoms, topo, cfg, ts_, hooks),
                 s, ts_safe,
             )
-            remaining = jnp.where(done, remaining, remaining - ts)
+            remaining = jnp.where(done, remaining, jnp.maximum(remaining - ts, 0.0))
             return (s, remaining), None
 
         (state, _), _ = lax.scan(
-            body, (state, time_target), None,
-            length=cfg.diff_adaptive_max_substeps)
+            body, (state, time_target), jnp.arange(n_scan))
         return state
 
     def cond(carry):
-        _, remaining = carry
-        return remaining > eps
+        _, remaining, it = carry
+        return jnp.logical_and(remaining > eps, it < cfg.max_substeps)
 
     def body(carry):
-        s, remaining = carry
+        s, remaining, it = carry
         ts = cfl_ts(s, remaining)
         s = piso_substep(s, geoms, topo, cfg, ts, hooks)
-        return s, remaining - ts
+        return s, remaining - ts, it + 1
 
-    state, _ = lax.while_loop(cond, body, (state, time_target))
+    state, _, _ = lax.while_loop(
+        cond, body, (state, time_target, jnp.asarray(0, jnp.int32)))
     return state
 
 
@@ -614,37 +645,60 @@ def make_divergence_free(
     geoms: tuple[BlockGeom, ...],
     topo: DomainTopo,
     cfg: SimConfig,
-    iterations: int = 1,
+    iterations: int | None = None,
     maxiter: int = 1000,
     hooks: Hooks | None = None,
 ) -> DomainState:
     """Pressure-project the current velocity to divergence free
     (reference make_divergence_free, PISOtorch_simulation.py:1320-1429:
-    A=1, dt=1, hbyA = velocity)."""
+    A=1, dt=1, hbyA = velocity).
+
+    On non-orthogonal (curvilinear) configs the deferred pressure coupling
+    (nonortho.deferred_rhs_flux, mirroring the corrector loop and the
+    reference's pressure_non_ortho_steps at PISOtorch_simulation.py:
+    1366-1374) enters the RHS from the previous pressure iterate, so
+    ``iterations`` defaults to 2 there (1 on orthogonal configs) to converge
+    the deferred term.
+    """
+    if iterations is None:
+        iterations = 1
+    # inner deferred non-orthogonal passes per projection, mirroring the
+    # corrector loop's treatment (fixed hbyA, deferred RHS from the previous
+    # TOTAL pressure iterate of THIS A=1 system, velocity corrected from the
+    # original field with the final pressure)
+    n_inner = 2 if cfg.non_orthogonal else 1
     nblocks = len(topo.blocks)
     one = jnp.asarray(1.0, state.blocks[0].velocity.dtype)
     adiags = tuple(jnp.ones_like(g.det) for g in geoms)
     p_ops = st.build_pressure_ops(adiags, geoms, topo)
+    inv_a = tuple(jnp.ones_like(g.det) for g in geoms)
 
     for _ in range(iterations):
         state = _run_hooks(hooks, "PRE", state, time_step=one)
         hbyA = tuple(blk.velocity for blk in state.blocks)
-        div = st.divergence_of(hbyA, state, geoms, topo)
-        rhs_p = tuple(-d for d in div)
-        if cfg.normalize_pressure_result:
-            rhs_mean = _global_mean(rhs_p)  # solvability projection
-            rhs_p = tuple(r - rhs_mean for r in rhs_p)
-        pressures = _solve(
-            p_ops, rhs_p, topo,
-            tol=cfg.pressure_tol, maxiter=maxiter,
-            symmetric=True, use_bicg=False,
-            return_best=cfg.pressure_return_best_result,
-            differentiable=cfg.differentiable,
-            precondition=cfg.pressure_precondition,
-        )
-        if cfg.normalize_pressure_result:
-            mean = _global_mean(pressures)
-            pressures = tuple(p - mean for p in pressures)
+        div0 = st.divergence_of(hbyA, state, geoms, topo)
+        proj_p = tuple(jnp.zeros_like(blk.pressure) for blk in state.blocks)
+        for _inner in range(n_inner):
+            div = div0
+            if cfg.non_orthogonal:
+                Sp = nonortho.deferred_rhs_flux(proj_p, geoms, topo, inv_a)
+                div = tuple(d + sp for d, sp in zip(div0, Sp))
+            rhs_p = tuple(-d for d in div)
+            if cfg.normalize_pressure_result:
+                rhs_mean = _global_mean(rhs_p)  # solvability projection
+                rhs_p = tuple(r - rhs_mean for r in rhs_p)
+            pressures = _solve(
+                p_ops, rhs_p, topo,
+                tol=cfg.pressure_tol, maxiter=maxiter,
+                symmetric=True, use_bicg=False,
+                return_best=cfg.pressure_return_best_result,
+                differentiable=cfg.differentiable,
+                precondition=cfg.pressure_precondition,
+            )
+            if cfg.normalize_pressure_result:
+                mean = _global_mean(pressures)
+                pressures = tuple(p - mean for p in pressures)
+            proj_p = pressures
         vel = st.correct_velocity_fd(
             hbyA, pressures, adiags, geoms, topo, one,
             time_step_normalized=cfg.pressure_time_step_normalized,
