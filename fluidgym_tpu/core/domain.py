@@ -297,6 +297,28 @@ class _BlockBuilder:
         a default wall (CloseConnectedBoudary, domain_structs.cpp:1811-1818).
         """
         f = self._face_index(face)
+        # sever a CONNECTED seam symmetrically: the neighbor's reciprocal
+        # face becomes a default wall too (reference CloseBoundary ->
+        # CloseConnectedBoudary, domain_structs.cpp:1790-1818); leaving it
+        # one-way would silently read this block's interior as halo
+        if self.faces[f].kind == BoundKind.CONNECTED:
+            nb = self.domain._blocks[self.faces[f].connected_block]
+            nf = self.faces[f].connected_face
+            my_index = self.domain._blocks.index(self)
+            if (nb.faces[nf].kind == BoundKind.CONNECTED
+                    and nb.faces[nf].connected_block == my_index
+                    and nb.faces[nf].connected_face == f):
+                c_n = self.domain.scalar_channels
+                fs_n = face_shape(nb.shape, nf)
+                nb.faces[nf] = FaceSpec(
+                    kind=BoundKind.FIXED,
+                    vel_type=BCType.DIRICHLET,
+                    scalar_types=tuple(BCType.DIRICHLET for _ in range(c_n)),
+                )
+                nb.face_data[nf] = FaceData(
+                    velocity=np.zeros((nb.ndims, *fs_n)),
+                    scalar=np.zeros((c_n, *fs_n)) if c_n else None,
+                )
         partner = f ^ 1
         if (
             self.faces[f].kind == BoundKind.PERIODIC
@@ -450,6 +472,15 @@ class DomainBuilder:
         axes_b: list[int] = [fa]
         if d > 1:
             axes_a.append(ca)
+            if d == 2 and (ca >> 1) != (fb_dim + 1) % d:
+                # in 2D the single tangential axis MUST map onto the
+                # neighbor's single tangential axis; anything else would
+                # alias the face-normal axis and fail later as a cryptic
+                # transpose error inside the first jitted halo exchange
+                raise ValueError(
+                    "invalid connection axis mapping: connected_axis_a must "
+                    "be the neighbor's tangential axis in 2D"
+                )
             if d == 2 or (ca >> 1) == (fb_dim + 1) % d:
                 axes_b.append((((fa_dim + 1) % d) << 1) | (ca & 1))
                 swapped = False
@@ -465,6 +496,16 @@ class DomainBuilder:
                 else:
                     axes_b.append((((fa_dim + 1) % d) << 1) | (ca & 1))
 
+        # tangential extents must agree cell-for-cell (the reference
+        # requires matching connected face sizes; a mismatch would only
+        # surface as a shape error deep inside the halo scatter)
+        fs_a = face_shape(a.shape, fa)
+        fs_b = face_shape(b.shape, fb)
+        if sorted(fs_a) != sorted(fs_b):
+            raise ValueError(
+                f"connected faces have incompatible sizes: block {block_a} "
+                f"face {fa} is {fs_a}, block {block_b} face {fb} is {fs_b}"
+            )
         a.faces[fa] = FaceSpec(
             kind=BoundKind.CONNECTED, connected_block=block_b, connected_face=fb,
             axes=tuple(axes_a),

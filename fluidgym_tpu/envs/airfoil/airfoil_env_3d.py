@@ -141,21 +141,43 @@ class AirfoilEnv3D(AirfoilEnvBase):
             phys.reshape(3, -1)).reshape(3, -1, self._n_sensors_z)
         return np.stack([grid[0].T, grid[1].T, grid[2].T])  # (3, n_z, n_xy)
 
+    def _additional_initialization(self) -> None:
+        super()._additional_initialization()
+        # 3D sensor point plan (see jet_cylinder_env_3d): keeps the
+        # grid-sized resample plan out of the jitted step
+        from fluidgym_tpu.envs.util.multiblock_resample import (
+            make_multiblock_point_plan,
+        )
+
+        s2d = self._get_sensor_locations_2d()
+        grid2d = self._physical_locations_to_grid_coords(s2d)
+        mask2d = (self._airfoil_mask[0] if self._airfoil_mask.ndim == 3
+                  else self._airfoil_mask)
+        keep = ~mask2d[grid2d[1], grid2d[0]]
+        s2d = s2d[:, keep]
+        n_z = self._n_sensors_z
+        sz = (np.linspace(-self.D / 2, self.D / 2, n_z + 1)[:-1]
+              + self.D / (2 * n_z))
+        xs = np.tile(s2d[0], (n_z, 1))
+        ys = np.tile(s2d[1], (n_z, 1))
+        zs = np.repeat(sz[:, None], s2d.shape[1], axis=1)
+        pts = np.stack([xs, ys, zs], axis=-1).reshape(-1, 3)
+        self._sensor_sample3 = make_multiblock_point_plan(
+            self._centers_np, pts)
+
     def _pure_global_obs(self, state: DomainState):
         """(extract_global_3d_obs, obs_extraction.py:60-151; reference view
         semantics preserved, including the (n_z, C, n_xy) reinterpretation)."""
-        u = self._resample(tuple(b.velocity for b in state.blocks))  # (3,Z,Y,X)
-        p = self._resample(tuple(b.pressure for b in state.blocks))
-        sl = self._sensor_locations.reshape(3, -1)
-        sx, sy, sz = sl[0], sl[1], sl[2]
+        u = self._sensor_sample3(tuple(b.velocity for b in state.blocks))
+        p = self._sensor_sample3(tuple(b.pressure for b in state.blocks))
         nspa = self._n_sensors_per_agent
         vd = 2 if self._local_2d_obs else 3
-        uv = u[:vd, sz, sy, sx]
+        uv = u[:vd]  # (vd, n) with n ordered (n_z, n_xy)
         uv = jnp.moveaxis(uv, 0, 1).reshape(self._n_sensors_z, vd, -1)
         uv = uv.reshape(self._n_agents, nspa, vd, -1)
         if self._local_2d_obs:
             uv = jnp.transpose(uv, (0, 1, 3, 2))
-        pv = p[sz, sy, sx].reshape(self._n_sensors_z, -1)
+        pv = p.reshape(self._n_sensors_z, -1)
         pv = pv.reshape(self._n_agents, nspa, -1)
         return {"velocity": uv, "pressure": pv}
 

@@ -34,7 +34,10 @@ import numpy as np
 from fluidgym_tpu.core.domain import DomainState
 from fluidgym_tpu.envs.airfoil.grid import get_jet_locations, make_airfoil_domain, read_airfoil
 from fluidgym_tpu.envs.fluid_env import FluidEnv, Stats
-from fluidgym_tpu.envs.util.multiblock_resample import make_multiblock_plan
+from fluidgym_tpu.envs.util.multiblock_resample import (
+    make_multiblock_plan,
+    make_multiblock_point_plan,
+)
 from fluidgym_tpu.envs.util.profiles import get_jet_profile
 from fluidgym_tpu.envs.util.wall_forces import WallForcesMixin
 from fluidgym_tpu.solver.boundaries import balance_boundary_fluxes, make_convective_outflow_hook
@@ -204,6 +207,7 @@ class AirfoilEnvBase(WallForcesMixin, FluidEnv):
             _, gi = self._build_domain()
             self._grid_info = gi
         centers = [np.asarray(jax.device_get(g.centers)) for g in self._geoms]
+        self._centers_np = centers  # reused by subclass sensor plans
         if self._ndims == 2:
             lower = (gi["x_min"], gi["y_min"])
             upper = (gi["x_max"], gi["y_max"])
@@ -212,6 +216,19 @@ class AirfoilEnvBase(WallForcesMixin, FluidEnv):
             upper = (gi["x_max"], gi["y_max"], self.D / 2)
         self._resample = make_multiblock_plan(
             centers, self.render_shape[: self._ndims], lower, upper)
+
+        # direct point-gather plan for the sensors (see cylinder_env_base:
+        # keeps the jitted step free of grid-sized index constants)
+        pts_all = self._get_sensor_locations_2d()          # physical (2, m)
+        grid = self._physical_locations_to_grid_coords(pts_all)
+        mask2d = (self._airfoil_mask if self._ndims == 2
+                  else self._airfoil_mask[0])
+        keep = ~mask2d[grid[1], grid[0]]
+        pts2d = pts_all[:, keep].T                         # (n, 2)
+        if self._ndims == 3:
+            pts2d = np.concatenate(
+                [pts2d, np.zeros((pts2d.shape[0], 1))], axis=1)
+        self._sensor_sample = make_multiblock_point_plan(centers, pts2d)
 
         self._prepare_drag_and_lift()
         self._jet_locations_top = get_jet_locations(
@@ -363,13 +380,9 @@ class AirfoilEnvBase(WallForcesMixin, FluidEnv):
         return grid[:, keep]
 
     def _pure_global_obs(self, state: DomainState) -> dict[str, Array]:
-        u = self._resample(tuple(b.velocity for b in state.blocks))
-        p = self._resample(tuple(b.pressure for b in state.blocks))
-        sx, sy = self._sensor_locations[0], self._sensor_locations[1]
-        if self._ndims == 2:
-            return {"velocity": u[:, sy, sx].T, "pressure": p[sy, sx]}
-        mid_z = self.render_shape[2] // 2
-        return {"velocity": u[:, mid_z, sy, sx].T, "pressure": p[mid_z, sy, sx]}
+        u = self._sensor_sample(tuple(b.velocity for b in state.blocks))
+        p = self._sensor_sample(tuple(b.pressure for b in state.blocks))
+        return {"velocity": u.T, "pressure": p}
 
     def _get_global_obs(self) -> dict[str, Array]:
         return self._pure_global_obs(self._state)

@@ -37,7 +37,10 @@ from gymnasium import spaces
 from fluidgym_tpu.core.domain import DomainState
 from fluidgym_tpu.envs.cylinder.grid import make_vortex_street_domain
 from fluidgym_tpu.envs.fluid_env import FluidEnv, Stats
-from fluidgym_tpu.envs.util.multiblock_resample import make_multiblock_plan
+from fluidgym_tpu.envs.util.multiblock_resample import (
+    make_multiblock_plan,
+    make_multiblock_point_plan,
+)
 from fluidgym_tpu.envs.util.wall_forces import WallForcesMixin
 from fluidgym_tpu.solver.boundaries import make_convective_outflow_hook
 from fluidgym_tpu.solver.piso import ADAPTIVE, Hooks, SimConfig, make_divergence_free, single_step
@@ -133,7 +136,10 @@ class CylinderEnvBase(WallForcesMixin, FluidEnv):
 
     @property
     def render_shape(self) -> tuple[int, int, int]:
-        z_res = self._circle_resolution_angular * 4
+        # cap the render/sensor grid: it scales like resolution^3 in 3D and
+        # at angular resolution 48 the uncapped grid is 35M cells -- far
+        # beyond what rendering needs and enough to exhaust HBM
+        z_res = min(self._circle_resolution_angular * 4, 128)
         y_res = z_res
         x_res = int(z_res / self.H * self.L)
         return (x_res, y_res, z_res)
@@ -221,6 +227,7 @@ class CylinderEnvBase(WallForcesMixin, FluidEnv):
             _, gi = self._build_domain()
             self._grid_info = gi
         centers = [np.asarray(jax.device_get(g.centers)) for g in self._geoms]
+        self._centers_np = centers  # reused by subclass sensor plans
         if self._ndims == 2:
             lower = (gi["x_min"], gi["y_min"])
             upper = (gi["x_max"], gi["y_max"])
@@ -229,6 +236,18 @@ class CylinderEnvBase(WallForcesMixin, FluidEnv):
             upper = (gi["x_max"], gi["y_max"], 2.0)
         self._resample = make_multiblock_plan(
             centers, self.render_shape[: self._ndims], lower, upper)
+
+        # sensor observations gather the 151 physical points directly
+        # (tiny plan -> tiny constants in the jitted step; resampling the
+        # full uniform grid first baked multi-hundred-MB index tensors into
+        # the 3D step HLO)
+        pts2d = self._get_sensor_locations_2d().T  # (n, 2) physical
+        if self._ndims == 3:
+            pts = np.concatenate(
+                [pts2d, np.zeros((pts2d.shape[0], 1))], axis=1)  # mid z
+        else:
+            pts = pts2d
+        self._sensor_sample = make_multiblock_point_plan(centers, pts)
 
         self._prepare_drag_and_lift()
         self._last_control = jnp.zeros(self._control_shape, self._dtype)
@@ -317,19 +336,14 @@ class CylinderEnvBase(WallForcesMixin, FluidEnv):
         return mask
 
     def _pure_global_obs(self, state: DomainState) -> dict[str, Array]:
-        """Velocity/pressure at the 151 sensors via the multi-block resample
+        """Velocity/pressure at the 151 sensors via a direct point-gather
         plan (extract_global_2d_obs, obs_extraction.py:10-57)."""
-        u = self._resample(tuple(b.velocity for b in state.blocks))
-        p = self._resample(tuple(b.pressure for b in state.blocks))
-        sx, sy = self._sensor_locations[0], self._sensor_locations[1]
-        if self._ndims == 2:
-            vel = u[:, sy, sx].T            # (n_sensors, 2)
-            pre = p[sy, sx]
-        else:
-            mid_z = self.render_shape[2] // 2
-            vel = u[:, mid_z, sy, sx].T
-            pre = p[mid_z, sy, sx]
-        return {"velocity": vel, "pressure": pre}
+        u = self._sensor_sample(tuple(b.velocity for b in state.blocks))
+        p = self._sensor_sample(tuple(b.pressure for b in state.blocks))
+        vel = u[: self._ndims].T if self._ndims == 2 else u.T  # (n, ndims)
+        if self._ndims == 3:
+            vel = vel[:, : self._ndims]
+        return {"velocity": vel, "pressure": p}
 
     def _get_global_obs(self) -> dict[str, Array]:
         return self._pure_global_obs(self._state)

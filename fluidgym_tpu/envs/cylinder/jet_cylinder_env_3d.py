@@ -135,18 +135,16 @@ class CylinderJetEnv3D(CylinderEnvBase):
 
     def _pure_global_obs(self, state: DomainState):
         """(extract_global_3d_obs, obs_extraction.py:60-150)."""
-        u = self._resample(tuple(b.velocity for b in state.blocks))  # (3,Z,Y,X)
-        p = self._resample(tuple(b.pressure for b in state.blocks))
-        sl = self._sensor_locations.reshape(3, -1)
-        sx, sy, sz = sl[0], sl[1], sl[2]
+        u = self._sensor_sample3(tuple(b.velocity for b in state.blocks))
+        p = self._sensor_sample3(tuple(b.pressure for b in state.blocks))
         nspa = self._n_sensors_per_agent
         vd = 2 if self._local_2d_obs else 3
-        uv = u[:vd, sz, sy, sx]  # (vd, n)
+        uv = u[:vd]  # (vd, n) with n ordered (n_z, n_xy)
         uv = jnp.moveaxis(uv, 0, 1).reshape(self._n_sensors_z, vd, -1)
         uv = uv.reshape(self._n_jets, nspa, vd, -1)
         if self._local_2d_obs:
             uv = jnp.transpose(uv, (0, 1, 3, 2))
-        pv = p[sz, sy, sx].reshape(self._n_sensors_z, -1)
+        pv = p.reshape(self._n_sensors_z, -1)
         pv = pv.reshape(self._n_jets, nspa, -1)
         return {"velocity": uv, "pressure": pv}
 
@@ -176,6 +174,25 @@ class CylinderJetEnv3D(CylinderEnvBase):
         super()._additional_initialization()
         self._top_velocity, self._bottom_velocity, self._nz_per_agent = (
             self._get_boundary_velocities())
+        # 3D sensor point plan (z-stacked 2D sensor cloud), ordered like
+        # _sensor_locations (n_z-major) so the downstream reshapes hold;
+        # gathering points directly keeps the grid-sized resample plan out
+        # of the jitted step (its 360 MB of index constants exceeded the
+        # remote compiler's request limit at angular resolution 48)
+        from fluidgym_tpu.envs.util.multiblock_resample import (
+            make_multiblock_point_plan,
+        )
+
+        s2d = self._get_sensor_locations_2d()
+        n_z = self._n_sensors_z
+        sz = (np.linspace(-self.H / 2, self.H / 2, n_z + 1)[:-1]
+              + self.H / (2 * n_z))
+        xs = np.tile(s2d[0], (n_z, 1))
+        ys = np.tile(s2d[1], (n_z, 1))
+        zs = np.repeat(sz[:, None], s2d.shape[1], axis=1)
+        pts = np.stack([xs, ys, zs], axis=-1).reshape(-1, 3)
+        self._sensor_sample3 = make_multiblock_point_plan(
+            self._centers_np, pts)
 
     def _get_boundary_velocities(self):
         def coords_to_velocities(line: np.ndarray, direction: str):

@@ -413,7 +413,12 @@ def piso_substep(
     adv_ops = st.build_advection_ops(state, geoms, topo, nu, dt)
     vel_rhs = st.advection_rhs_velocity(state, geoms, topo, nu, dt)
     if cfg.non_orthogonal:
-        nus = tuple(jnp.full_like(g.det, 1.0) * nu for g in geoms)
+        # per-cell viscosity (SGS hooks set blocks[b].viscosity) must reach
+        # the cross-diffusion terms too, matching build_advection_ops
+        nus = tuple(
+            jnp.full_like(g.det, 1.0) * st._block_nu(state, b, nu, False)
+            for b, g in enumerate(geoms)
+        )
         adv_ops = nonortho.apply_matrix_terms(
             adv_ops, geoms, topo, nus, det_divide=True, field="velocity"
         )

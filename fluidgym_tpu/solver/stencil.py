@@ -229,7 +229,10 @@ def domain_apply(ops: tuple[StencilOp, ...], xs: BlockVec, topo: DomainTopo) -> 
     """Multi-block apply with halo exchange at CONNECTED faces."""
     from fluidgym_tpu.ops import stencil_pallas as _sp
 
-    if _sp.pallas_stencil_enabled() and topo.ndims == 2:
+    # the fused kernel is strictly 2D single-channel: velocity applies carry
+    # a leading component axis and must take the XLA path
+    if (_sp.pallas_stencil_enabled() and topo.ndims == 2
+            and all(x.ndim == 2 for x in xs)):
         out = []
         for b, (op, x) in enumerate(zip(ops, xs)):
             halos = tuple(_halo_layer(xs, b, f, topo) for f in range(4))
@@ -366,7 +369,8 @@ def build_advection_ops(
     # visc_f = 0.5 * (alpha_P nu_P + alpha_N nu_N) (kernel.cu:3747); nu is
     # per-cell when a block viscosity field is set (Block.setViscosity)
     nus = tuple(_block_nu(state, b, nu, for_scalar) for b in range(len(geoms)))
-    alpha_nu = tuple(g.alpha * nus[b][None] if jnp.ndim(nus[b]) else g.alpha * nus[b]
+    # (d, *s) * (*s) and (d, *s) * scalar both broadcast directly
+    alpha_nu = tuple(g.alpha * nus[b]
                      for b, g in enumerate(geoms))
 
     ops = []

@@ -150,3 +150,55 @@ def test_rotated_connection_matches_single_block():
     u_right = np.asarray(out2.blocks[1].velocity)[:, ::-1, ::-1]  # unrotate
     u2 = np.concatenate([np.asarray(out2.blocks[0].velocity), u_right], axis=-1)
     np.testing.assert_allclose(u2, u1, atol=5e-4)
+
+
+def _two_boxes():
+    import numpy as np
+    from fluidgym_tpu.core.domain import DomainBuilder
+    from fluidgym_tpu.core import geometry as geo
+
+    dom = DomainBuilder(ndims=2, viscosity=1e-3)
+    g1 = geo.make_wall_refined_ortho_grid(
+        8, 8, corner_lower=(0, 0), corner_upper=(1, 1),
+        wall_refinement=(), base=1.0)
+    g2 = geo.make_wall_refined_ortho_grid(
+        8, 8, corner_lower=(1, 0), corner_upper=(2, 1),
+        wall_refinement=(), base=1.0)
+    return dom, dom.create_block(g1), dom.create_block(g2)
+
+
+def test_close_boundary_severs_reciprocal_connection():
+    """Closing one side of a CONNECTED seam closes the neighbor's face too
+    (reference CloseBoundary -> CloseConnectedBoudary,
+    domain_structs.cpp:1790-1818) -- a one-way connection would silently
+    read the closed block's interior as halo."""
+    from fluidgym_tpu.core.domain import BoundKind
+
+    dom, b1, b2 = _two_boxes()
+    dom.connect_blocks(0, "+x", 1, "-x")
+    assert b2.faces[0].kind == BoundKind.CONNECTED
+    b1.close_boundary("+x")
+    assert b1.faces[1].kind == BoundKind.FIXED
+    assert b2.faces[0].kind == BoundKind.FIXED
+
+
+def test_connect_blocks_validates_2d_axis_and_shapes():
+    import pytest
+    from fluidgym_tpu.core.domain import DomainBuilder
+    from fluidgym_tpu.core import geometry as geo
+
+    dom, b1, b2 = _two_boxes()
+    with pytest.raises(ValueError, match="axis mapping"):
+        dom.connect_blocks(0, "+x", 1, "-x", "+x")  # face-normal as tangent
+
+    dom2 = DomainBuilder(ndims=2, viscosity=1e-3)
+    g1 = geo.make_wall_refined_ortho_grid(
+        8, 8, corner_lower=(0, 0), corner_upper=(1, 1),
+        wall_refinement=(), base=1.0)
+    g3 = geo.make_wall_refined_ortho_grid(
+        8, 12, corner_lower=(1, 0), corner_upper=(2, 1),
+        wall_refinement=(), base=1.0)
+    dom2.create_block(g1)
+    dom2.create_block(g3)
+    with pytest.raises(ValueError, match="incompatible sizes"):
+        dom2.connect_blocks(0, "+x", 1, "-x")  # 8 vs 12 tangential cells

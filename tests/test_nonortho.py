@@ -125,3 +125,36 @@ def test_nonortho_vanishes_on_orthogonal_grid():
         ops, geoms, topo, (jnp.ones_like(geoms[0].det),),
         det_divide=True, field="velocity")
     assert ops2[0] is ops[0]
+
+
+def test_flux_form_matches_direct_deferred_on_periodic_domain():
+    """deferred_rhs_flux is documented as algebraically identical to
+    deferred_rhs(include_direct=True) away from walls; on a fully periodic
+    sheared block they must agree everywhere (pins the include_direct
+    reference implementation against the production flux form)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fluidgym_tpu.core.domain import DomainBuilder
+    from fluidgym_tpu.solver import nonortho
+
+    # sheared periodic box -> genuinely non-orthogonal metric
+    n = 12
+    xs0 = np.linspace(0.0, 1.0, n + 1)
+    ys0 = np.linspace(0.0, 1.0, n + 1)
+    X, Y = np.meshgrid(xs0, ys0, indexing="xy")
+    X = X + 0.3 * Y  # shear
+    coords = np.stack([X, Y], axis=0)
+    dom = DomainBuilder(ndims=2, viscosity=1e-3)
+    dom.create_block(coords)  # all faces periodic by default
+    topo, geoms, state = dom.build()
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    ras = (jnp.ones_like(geoms[0].det),)
+
+    S_flux = nonortho.deferred_rhs_flux((x,), geoms, topo, ras)[0]
+    S_direct = nonortho.deferred_rhs(
+        (x,), geoms, topo, ras, field="pressure", include_direct=True)[0]
+    np.testing.assert_allclose(
+        np.asarray(S_flux), np.asarray(S_direct), rtol=0, atol=5e-5)
