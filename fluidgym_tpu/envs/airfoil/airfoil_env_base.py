@@ -41,7 +41,13 @@ from fluidgym_tpu.envs.util.multiblock_resample import (
 from fluidgym_tpu.envs.util.profiles import get_jet_profile
 from fluidgym_tpu.envs.util.wall_forces import WallForcesMixin
 from fluidgym_tpu.solver.boundaries import balance_boundary_fluxes, make_convective_outflow_hook
-from fluidgym_tpu.solver.piso import ADAPTIVE, Hooks, SimConfig, make_divergence_free, single_step
+from fluidgym_tpu.solver.piso import (
+    ADAPTIVE,
+    Hooks,
+    SimConfig,
+    jit_make_divergence_free,
+    single_step,
+)
 
 Array = jax.Array
 
@@ -197,10 +203,8 @@ class AirfoilEnvBase(WallForcesMixin, FluidEnv):
         )
 
     def _additional_initialization(self) -> None:
-        self._state = jax.jit(
-            partial(make_divergence_free, geoms=self._geoms, topo=self._topo,
-                    cfg=self._cfg)
-        )(self._state)
+        self._state = jit_make_divergence_free(
+            self._state, self._geoms, topo=self._topo, cfg=self._cfg)
 
         gi = self._grid_info if hasattr(self, "_grid_info") else None
         if gi is None:

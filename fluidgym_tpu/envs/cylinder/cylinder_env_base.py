@@ -43,7 +43,13 @@ from fluidgym_tpu.envs.util.multiblock_resample import (
 )
 from fluidgym_tpu.envs.util.wall_forces import WallForcesMixin
 from fluidgym_tpu.solver.boundaries import make_convective_outflow_hook
-from fluidgym_tpu.solver.piso import ADAPTIVE, Hooks, SimConfig, make_divergence_free, single_step
+from fluidgym_tpu.solver.piso import (
+    ADAPTIVE,
+    Hooks,
+    SimConfig,
+    jit_make_divergence_free,
+    single_step,
+)
 
 Array = jax.Array
 
@@ -216,10 +222,8 @@ class CylinderEnvBase(WallForcesMixin, FluidEnv):
     def _additional_initialization(self) -> None:
         # project the loaded/initial state to divergence free (reference
         # _get_simulation calls sim.make_divergence_free(), :330)
-        self._state = jax.jit(
-            partial(make_divergence_free, geoms=self._geoms, topo=self._topo,
-                    cfg=self._cfg)
-        )(self._state)
+        self._state = jit_make_divergence_free(
+            self._state, self._geoms, topo=self._topo, cfg=self._cfg)
 
         # resampling plan over all blocks to the uniform render grid
         gi = self._grid_info if hasattr(self, "_grid_info") else None

@@ -393,25 +393,31 @@ class FluidEnv(ABC, FluidEnvLike):
     # initial state
     # ------------------------------------------------------------------
     def _initial_domain_path(self, mode: EnvMode, idx: int,
-                             write: bool = False) -> Path:
-        return (data_utils.initial_domain_dir(self.initial_domain_id, write=write)
+                             write: bool = False,
+                             user_only: bool = False) -> Path:
+        return (data_utils.initial_domain_dir(
+                    self.initial_domain_id, write=write, user_only=user_only)
                 / f"{mode.value}_{idx:02d}")
 
-    def _load_initial_domain(self, mode: EnvMode, idx: int):
-        return load_domain(self._initial_domain_path(mode, idx), dtype=self._dtype)
+    def _load_initial_domain(self, mode: EnvMode, idx: int,
+                             user_only: bool = False):
+        return load_domain(
+            self._initial_domain_path(mode, idx, user_only=user_only),
+            dtype=self._dtype)
 
     def _save_initial_domain(self, mode: EnvMode, idx: int) -> None:
         save_domain(self._topo, self._geoms, self._state,
                     self._initial_domain_path(mode, idx, write=True))
 
     def _check_initial_domains_exist(self, mode: EnvMode | None = None,
-                                     idx: int | None = None) -> bool:
+                                     idx: int | None = None,
+                                     user_only: bool = False) -> bool:
         modes = list(MODE_SEEDS) if mode is None else [mode]
         idxs = range(N_INITIAL_DOMAINS) if idx is None else [idx]
         try:
             for i in idxs:
                 for m in modes:
-                    self._load_initial_domain(m, i)
+                    self._load_initial_domain(m, i, user_only=user_only)
             return True
         except FileNotFoundError:
             return False
@@ -443,8 +449,16 @@ class FluidEnv(ABC, FluidEnvLike):
             self._topo, self._geoms, self._state = self._get_domain()
 
         self._hooks = self._get_prep_fn()
-        self._cfg = self._get_simulation()
-        self._jit_cache.clear()
+        new_cfg = self._get_simulation()
+        # retain compiled steps across resets: hooks/geoms are rebuilt every
+        # reset but are pure functions of the STATIC env config, so cached
+        # jitted closures stay valid as long as (topo, cfg) are unchanged --
+        # without this every reset (and every env slot of a BatchedFluidEnv
+        # reset) recompiles the full PISO step
+        if getattr(self, "_jit_key", None) != (self._topo, new_cfg):
+            self._jit_cache.clear()
+            self._jit_key = (self._topo, new_cfg)
+        self._cfg = new_cfg
         self._additional_initialization()
 
         if randomize:
@@ -525,15 +539,22 @@ class FluidEnv(ABC, FluidEnvLike):
                 f"EnvState is for {state.class_name}, not {self.__class__.__name__}"
             )
         if self._topo is None:
-            # need sim machinery; build from scratch without randomization
-            self._set_initial_state(randomize=False) if self._load_domain_on_reset \
-                else None
-        if self._topo is None:
-            self._topo, self._geoms, _ = self._get_domain()
-            self._hooks = self._get_prep_fn()
-            self._cfg = self._get_simulation()
-            self._jit_cache.clear()
-            self._additional_initialization()
+            if self._np_rng is None:
+                # the placeholder build below needs RNG plumbing; its values
+                # are overwritten by the snapshot, so the seed is irrelevant
+                self.seed(0)
+            # need the sim machinery first; build it from scratch (without
+            # randomization) so subclass init hooks see a REAL domain state,
+            # then overwrite with the restored snapshot below
+            if self._load_domain_on_reset:
+                self._set_initial_state(randomize=False)
+            else:
+                self._topo, self._geoms, self._state = self._get_domain()
+                self._hooks = self._get_prep_fn()
+                self._cfg = self._get_simulation()
+                self._jit_cache.clear()
+                self._jit_key = (self._topo, self._cfg)
+                self._additional_initialization()
         self._state = jax.lax.stop_gradient(state.domain)
         self._n_steps = state.n_steps
         self._mode = state.mode
@@ -609,12 +630,17 @@ class FluidEnv(ABC, FluidEnvLike):
         pytree equivalent of Domain.Detach()."""
         self._state = jax.lax.stop_gradient(self._state)
 
-    def load_initial_domain(self, mode: EnvMode, idx: int) -> None:
+    def load_initial_domain(self, mode: EnvMode, idx: int,
+                            user_only: bool = False) -> None:
         """Load a specific initial domain snapshot (fluid_env.py:1088-1112)."""
-        self._topo, self._geoms, self._state = self._load_initial_domain(mode, idx)
+        self._topo, self._geoms, self._state = self._load_initial_domain(
+            mode, idx, user_only=user_only)
         self._hooks = self._get_prep_fn()
-        self._cfg = self._get_simulation()
-        self._jit_cache.clear()
+        new_cfg = self._get_simulation()
+        if getattr(self, "_jit_key", None) != (self._topo, new_cfg):
+            self._jit_cache.clear()
+            self._jit_key = (self._topo, new_cfg)
+        self._cfg = new_cfg
         self._additional_initialization()
         self._reset_called = True
         self._n_steps = 0
@@ -641,49 +667,93 @@ class FluidEnv(ABC, FluidEnvLike):
     # ------------------------------------------------------------------
     # initial-domain generation (offline; fluid_env.py:1114-1190)
     # ------------------------------------------------------------------
-    def init(self, n_domains: int = N_INITIAL_DOMAINS, verbose: bool = True) -> None:
-        """Generate and save the initial-domain dataset plus statistics.
+    def init(self, n_domains: int = N_INITIAL_DOMAINS, verbose: bool = True,
+             episode_steps: int | None = None) -> None:
+        """Generate the initial-domain dataset, uncontrolled-episode
+        baselines, and metric statistics (reference init,
+        fluid_env.py:1114-1190).
 
-        For each mode and domain index: burn in an uncontrolled simulation
-        from a fresh randomized domain, then snapshot it.  Metric statistics
-        are accumulated from the uncontrolled episodes.
+        Stage 1 -- domains: burn in from the train seed and snapshot; when
+        ``_initial_domain_restart`` is False the SAME simulation continues
+        ~10% further for the val and test snapshots (reference :1173-1187),
+        otherwise each mode burns in from its own seed.  Already-existing
+        domains are skipped, so an interrupted run resumes.
+
+        Stage 2 -- baselines: a zero-action EPISODE (``episode_steps``,
+        default ``episode_length``) is run FROM each saved domain; its
+        per-step metrics become the uncontrolled-episode CSV (what
+        ``get_uncontrolled_episode_metrics`` pairs with the loaded domain)
+        and are pooled into the domain statistics.
         """
         was_loading = self._load_domain_on_reset
+        was_actions = self._enable_actions
         self._load_domain_on_reset = False
-        metric_values: dict[str, list] = defaultdict(list)
+        self._enable_actions = False
+        episode_steps = int(episode_steps or self.episode_length)
         try:
-            for mode, mode_seed in MODE_SEEDS.items():
-                self.mode = mode
-                for idx in range(n_domains):
-                    self.reset(seed=mode_seed + idx, randomize=False)
+            # ---- stage 1: domain snapshots ------------------------------
+            gen_modes = (list(MODE_SEEDS) if self._initial_domain_restart
+                         else [EnvMode.TRAIN])
+            for idx in range(n_domains):
+                if self._check_initial_domains_exist(idx=idx, user_only=True):
+                    if verbose:
+                        self._logger.info(
+                            "init: domains for idx=%d exist; skipping", idx)
+                    continue
+                for mode in gen_modes:
+                    self.mode = mode
+                    self.reset(seed=MODE_SEEDS[mode] + idx, randomize=False)
                     steps = self._initial_domain_steps
                     jitter = int(round(steps * 0.15))
                     if jitter:
-                        steps = int(steps + self._np_rng.integers(-jitter, jitter + 1))
+                        steps = int(
+                            steps + self._np_rng.integers(-jitter, jitter + 1))
                     if verbose:
                         self._logger.info(
                             "init: mode=%s idx=%d burn-in %d env steps",
-                            mode.value, idx, steps,
-                        )
-                    rows = []
+                            mode.value, idx, steps)
                     for _ in range(steps):
+                        self.step(self._zero_action)
+                        self._n_steps = 0  # burn-in never truncates
+                    self._save_initial_domain(mode, idx)
+                    if not self._initial_domain_restart:
+                        # continue the same run for the val/test snapshots
+                        for extra_mode in (EnvMode.VAL, EnvMode.TEST):
+                            for _ in range(max(1, int(steps * 0.1))):
+                                self.step(self._zero_action)
+                                self._n_steps = 0
+                            self._save_initial_domain(extra_mode, idx)
+
+            # ---- stage 2: uncontrolled episodes + statistics ------------
+            metric_values: dict[str, list] = defaultdict(list)
+            for mode in MODE_SEEDS:
+                self.mode = mode
+                for idx in range(n_domains):
+                    self.load_initial_domain(mode, idx, user_only=True)
+                    self.seed(MODE_SEEDS[mode] + idx)
+                    if verbose:
+                        self._logger.info(
+                            "init: uncontrolled episode mode=%s idx=%d "
+                            "(%d steps)", mode.value, idx, episode_steps)
+                    rows = []
+                    for _ in range(episode_steps):
                         _, _, _, _, info = self.step(self._zero_action)
-                        self._n_steps = 0  # uncontrolled burn-in never truncates
-                        rows.append({k: float(np.asarray(v)) for k, v in info.items()
-                                     if np.asarray(v).size == 1})
-                    for row in rows[len(rows) // 2 :]:  # post-transient half
+                        self._n_steps = 0
+                        rows.append({
+                            k: float(np.asarray(v)) for k, v in info.items()
+                            if np.asarray(v).size == 1})
+                    data_utils.save_uncontrolled_episode(
+                        self.initial_domain_id, mode.value, idx, rows)
+                    for row in rows:
                         for k, v in row.items():
                             metric_values[k].append(v)
-                    self._save_initial_domain(mode, idx)
-                    data_utils.save_uncontrolled_episode(
-                        self.initial_domain_id, mode.value, idx, rows
-                    )
             if metric_values:
                 self._save_domain_statistics(
                     {k: np.asarray(v) for k, v in metric_values.items()}
                 )
         finally:
             self._load_domain_on_reset = was_loading
+            self._enable_actions = was_actions
             self.mode = EnvMode.TRAIN
 
     # ------------------------------------------------------------------
@@ -693,13 +763,13 @@ class FluidEnv(ABC, FluidEnvLike):
     def _format_render_data(data: np.ndarray, v_min=None, v_max=None,
                             cmap: str = "viridis") -> np.ndarray:
         """Normalize + colormap to uint8 RGB (fluid_env.py:710-747)."""
-        import matplotlib.cm as mcm
+        import matplotlib
 
         _v_min = np.min(data) if v_min is None else v_min
         _v_max = np.max(data) if v_max is None else v_max
         data = np.flip(data, axis=1)
         data = np.clip((data - _v_min) / (_v_max - _v_min + 1e-30), 0.0, 1.0)
-        return (mcm.get_cmap(cmap)(data)[..., :3] * 255).astype(np.uint8)
+        return (matplotlib.colormaps[cmap](data)[..., :3] * 255).astype(np.uint8)
 
     def render(self, save: bool = False, render_3d: bool = False,
                filename: str | None = None, output_path: Path | None = None) -> np.ndarray:

@@ -201,10 +201,12 @@ class RBCEnvBase(FluidEnv):
             velocity_corrector="FD",
             non_orthogonal=False,
             differentiable=self._differentiable,
-            # see cylinder_env_base: warm+deflated pressure starts on the
-            # RL stepping path
-            pressure_warm_start=not self._differentiable,
-            pressure_deflation=not self._differentiable,
+            # cold pressure starts: warm+deflated starts destabilized the
+            # periodic single-block configs (RBC blow-ups within ~200 steps
+            # on some seeds; see VALIDATION.md), and their measured win here
+            # was within 5% anyway -- the multi-block curvilinear families
+            # (cylinder/airfoil) keep the warm path where it is validated
+            # and worth 3-4x
         )
 
     def _additional_initialization(self) -> None:

@@ -37,7 +37,13 @@ from fluidgym_tpu.envs.tcf.grid import (
     van_driest_sqr_from_centers,
 )
 from fluidgym_tpu.envs.util.obs_extraction import extract_moving_window_2d_x_z
-from fluidgym_tpu.solver.piso import ADAPTIVE, Hooks, SimConfig, make_divergence_free, single_step
+from fluidgym_tpu.solver.piso import (
+    ADAPTIVE,
+    Hooks,
+    SimConfig,
+    jit_make_divergence_free,
+    single_step,
+)
 from fluidgym_tpu.solver.sgs import make_smagorinsky_hook
 
 Array = jax.Array
@@ -222,6 +228,7 @@ class TCF3DBottomEnv(FluidEnv):
         })
 
     def _get_prep_fn(self) -> Hooks:
+        self._ensure_channel_info()
         hooks = [make_dynamic_forcing_hook(self._geoms, self._topo,
                                            self._channel_info["d_y"])]
         if self._C_smag != 0:
@@ -250,21 +257,29 @@ class TCF3DBottomEnv(FluidEnv):
             velocity_corrector="FD",
             non_orthogonal=False,  # rectilinear channel grid is orthogonal
             differentiable=self._differentiable,
-            # see cylinder_env_base: warm+deflated pressure starts on the
-            # RL stepping path
-            pressure_warm_start=not self._differentiable,
-            pressure_deflation=not self._differentiable,
+            # cold pressure starts: warm+deflated starts destabilized the
+            # periodic single-block configs (RBC blow-ups within ~200 steps
+            # on some seeds; see VALIDATION.md), and their measured win here
+            # was within 5% anyway -- the multi-block curvilinear families
+            # (cylinder/airfoil) keep the warm path where it is validated
+            # and worth 3-4x
         )
 
-    def _additional_initialization(self) -> None:
+    def _ensure_channel_info(self) -> None:
+        """Rebuild the static channel geometry info when the state came from
+        disk (``_get_domain`` never ran).  Must be callable from
+        ``_get_prep_fn``, which the base reset invokes BEFORE
+        ``_additional_initialization`` (fluid_env.py:445-448)."""
         if not hasattr(self, "_channel_info"):
-            # state was loaded from disk; rebuild static info
             _, self._channel_info = make_channel_flow_domain(
                 H=self._H, L=self._L, D=self._D, x=self._x, y=self._y,
                 z=self._z, refinement_strength=self._grid_refinement_strength,
                 n_dims=self._ndims, u_wall=self._u_wall,
                 viscosity=self._viscosity, init_with_noise=False,
                 dtype=self._dtype)
+
+    def _additional_initialization(self) -> None:
+        self._ensure_channel_info()
         self._y_obs_bottom_idx = self._get_y_obs_idx(self._y_obs_wall)
         if self._C_smag != 0 and self._state.blocks[0].viscosity is None:
             # the SGS hook rewrites this every substep; materialize it so the
@@ -273,11 +288,8 @@ class TCF3DBottomEnv(FluidEnv):
             self._state = self._state.replace_block(0, replace(
                 blk, viscosity=jnp.full(self._topo.blocks[0].shape,
                                         self._viscosity, self._dtype)))
-        import functools
-
-        self._state = jax.jit(functools.partial(
-            make_divergence_free, geoms=self._geoms, topo=self._topo,
-            cfg=self._cfg))(self._state)
+        self._state = jit_make_divergence_free(
+            self._state, self._geoms, topo=self._topo, cfg=self._cfg)
 
     # ------------------------------------------------------------------
     # actions (tcf_env.py:521-554)
@@ -524,6 +536,10 @@ class TCF3DBothEnv(TCF3DBottomEnv):
         return state.replace_block(0, replace(blk, faces=tuple(faces)))
 
     def _pure_local_obs(self, state: DomainState, y_idx=None, flip_obs=False):
+        if y_idx is not None:
+            # honor the base-class contract instead of silently ignoring the
+            # requested wall slice
+            return super()._pure_local_obs(state, y_idx, flip_obs)
         bottom = super()._pure_local_obs(state, self._y_obs_bottom_idx, False)
         top = super()._pure_local_obs(state, self._y_obs_top_idx, True)
         return jax.tree.map(

@@ -92,6 +92,7 @@ class BatchedFluidEnv:
         self.env.test()
 
     def seed(self, seed: int) -> None:
+        self._seed = int(seed)
         self.env.seed(seed)
 
     def close(self) -> None:
@@ -101,9 +102,12 @@ class BatchedFluidEnv:
     def _shard(self, tree):
         if self._sharding is None:
             return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(self._sharding.mesh, P())
         return jax.tree.map(
             lambda a: jax.device_put(
-                a, self._sharding if a.ndim else self._sharding
+                a, self._sharding if jnp.ndim(a) else replicated
             ),
             tree,
         )
@@ -113,7 +117,10 @@ class BatchedFluidEnv:
         """Reset every env (host loop builds per-env initial states; all
         later stepping is one device program)."""
         if isinstance(seed, (int, np.integer)) or seed is None:
-            base = 0 if seed is None else int(seed)
+            # None -> the seed set via seed(), falling back to 0 (reference
+            # ParallelFluidEnv: 'If None, the current seed is used',
+            # parallel_env.py:210-212)
+            base = getattr(self, "_seed", 0) if seed is None else int(seed)
             seeds = [base + i for i in range(self.n_envs)]
         else:
             seeds = [int(s) for s in seed]

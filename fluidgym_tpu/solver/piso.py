@@ -54,7 +54,7 @@ Array = jax.Array
 
 __all__ = ["SimConfig", "Hooks", "piso_substep", "piso_adaptive_step",
            "piso_fixed_steps", "single_step", "make_divergence_free",
-           "advect_static", "get_max_time_step"]
+           "jit_make_divergence_free", "advect_static", "get_max_time_step"]
 
 Hooks = dict[str, tuple[Callable[..., DomainState], ...]]
 
@@ -249,11 +249,20 @@ def _deflation_basis(topo: DomainTopo, dtype):
     """
     nblocks = len(topo.blocks)
     cols: list[tuple[Array, ...]] = []
+    from fluidgym_tpu.core.domain import BoundKind
+
     for b, bt in enumerate(topo.blocks):
         shp = bt.shape
         nd = len(shp)
         modes = [jnp.ones(shp, dtype)]
         for ax in range(nd):
+            # a linear ramp is DISCONTINUOUS across a periodic seam: as a
+            # deflation mode it has a huge A-image there and poisons the
+            # coarse solve (observed as RBC blow-ups within ~200 steps when
+            # warm+deflated starts were enabled on the periodic-x channel)
+            f_lo = bt.faces[2 * (nd - 1 - ax)]
+            if f_lo.kind == BoundKind.PERIODIC:
+                continue
             ramp = jnp.linspace(-1.0, 1.0, shp[ax], dtype=dtype)
             modes.append(jnp.broadcast_to(
                 ramp.reshape((1,) * ax + (-1,) + (1,) * (nd - 1 - ax)), shp))
@@ -754,3 +763,12 @@ def get_max_time_step(
         max_vel > 1e-30, cfl / jnp.maximum(max_vel, 1e-30), time_step_target)
     substeps = jnp.maximum(jnp.ceil(time_step_target / max_ts), 1.0)
     return time_step_target / substeps, substeps.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("topo", "cfg", "iterations"))
+def jit_make_divergence_free(state, geoms, *, topo, cfg, iterations=None):
+    """Module-level jitted projection: caches the (expensive) trace/compile
+    across env resets and across the env slots of a BatchedFluidEnv --
+    ``jax.jit(partial(make_divergence_free, ...))`` built fresh per reset can
+    never be reused (new function identity every time)."""
+    return make_divergence_free(state, geoms, topo, cfg, iterations=iterations)

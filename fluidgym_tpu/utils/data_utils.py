@@ -34,14 +34,18 @@ __all__ = [
 BUNDLED_DATA = Path(__file__).resolve().parent.parent / "data"
 
 
-def initial_domain_dir(initial_domain_id: str, write: bool = False) -> Path:
+def initial_domain_dir(initial_domain_id: str, write: bool = False,
+                       user_only: bool = False) -> Path:
     """Directory of an initial-domain dataset.
 
     Reads fall back to datasets bundled under ``fluidgym_tpu/data/`` when the
     user data path has no copy; writes (``env.init()``) always target the
-    user data path."""
+    user data path.  ``user_only=True`` disables the bundled fallback --
+    ``env.init()`` uses it so generation never mixes bundled reads with
+    user-path writes (the resolution would flip mid-run after the first
+    file is written)."""
     user = config.data_path / "initial_domains" / initial_domain_id
-    if write or (user.exists() and any(user.iterdir())):
+    if write or user_only or (user.exists() and any(user.iterdir())):
         return user
     bundled = BUNDLED_DATA / "initial_domains" / initial_domain_id
     if bundled.exists() and any(bundled.iterdir()):

@@ -81,3 +81,23 @@ def test_batched_cylinder_tuple_carry():
     # identical seeds across slots would differ; distinct seeds gave
     # identical initial states here (no randomization), so rewards match
     assert np.allclose(rewards, rewards[0])
+
+
+def test_seed_method_affects_unseeded_reset():
+    """reset(seed=None) must use the seed set via seed() (reference
+    ParallelFluidEnv contract, parallel_env.py:210-212)."""
+    def make_benv():
+        from fluidgym_tpu.parallel import BatchedFluidEnv
+        return BatchedFluidEnv(
+            "RBC2D-easy-v0", n_envs=2, n_heaters=4, resolution=4,
+            local_obs_window=3, load_initial_domain=False,
+            load_domain_statistics=False, episode_length=3,
+            step_length=0.1, dt=0.05)
+
+    b1 = make_benv(); b1.seed(42)
+    o1, _ = b1.reset()
+    b2 = make_benv(); b2.seed(7)
+    o2, _ = b2.reset()
+    diff = max(float(np.abs(np.asarray(o1[k]) - np.asarray(o2[k])).max())
+               for k in o1)
+    assert diff > 0.0, "different seed() must change unseeded reset"

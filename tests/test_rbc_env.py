@@ -132,3 +132,22 @@ def test_render(rbc2d_env):
     frame = env.render()
     assert frame.ndim == 3 and frame.shape[-1] == 3
     assert frame.dtype == np.uint8
+
+
+def test_set_state_on_fresh_env():
+    """set_state before any reset must restore exactly (previously crashed:
+    subclass init hooks ran against a discarded/None state)."""
+    kw = dict(DEV_KW, n_heaters=4, resolution=4)
+    env_a = fluidgym_tpu.make("RBC2D-easy-v0", **kw)
+    env_a.reset(seed=3)
+    env_a.step(env_a.sample_action())
+    snap = env_a.get_state()
+
+    env_b = fluidgym_tpu.make("RBC2D-easy-v0", **kw)
+    env_b.set_state(snap)
+    np.testing.assert_allclose(
+        np.asarray(env_b._state.blocks[0].velocity),
+        np.asarray(env_a._state.blocks[0].velocity), rtol=0, atol=0)
+    # and it can step from the restored state
+    obs, r, *_ = env_b.step(env_b._zero_action)
+    assert np.isfinite(np.asarray(r)).all()

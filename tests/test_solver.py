@@ -233,13 +233,25 @@ def test_coarse_preconditioner_same_solution_fewer_iters():
     from fluidgym_tpu.solver import stencil as st_mod
     from fluidgym_tpu.solver.piso import _make_coarse_solver
 
-    env = fluidgym_tpu.make(
-        "RBC2D-easy-v0", n_heaters=4, resolution=8,
-        load_initial_domain=False, load_domain_statistics=False,
-        randomize_initial_state=False, episode_length=3,
-        step_length=0.1, dt=0.05, local_obs_window=3)
-    env.reset(seed=0)
-    s, geoms, topo = env._state, env._geoms, env._topo
+    # two connected wall-bounded blocks: the per-block constant modes are
+    # exactly the slow coarse space the deflation targets (on periodic
+    # domains the basis is intentionally reduced and may not help)
+    dom = DomainBuilder(ndims=2, viscosity=1e-3)
+    g1 = geo.make_wall_refined_ortho_grid(
+        16, 16, corner_lower=(0, 0), corner_upper=(1, 1),
+        wall_refinement=(), base=1.0)
+    g2 = geo.make_wall_refined_ortho_grid(
+        16, 16, corner_lower=(1, 0), corner_upper=(2, 1),
+        wall_refinement=(), base=1.0)
+    b1 = dom.create_block(g1)
+    b2 = dom.create_block(g2)
+    dom.connect_blocks(0, "+x", 1, "-x")
+    b1.close_boundary("-x"); b1.close_boundary("-y"); b1.close_boundary("+y")
+    b2.close_boundary("+x"); b2.close_boundary("-y"); b2.close_boundary("+y")
+    rng0 = np.random.default_rng(7)
+    b1.set_velocity(rng0.normal(size=(2, 16, 16)) * 0.1)
+    b2.set_velocity(rng0.normal(size=(2, 16, 16)) * 0.1)
+    topo, geoms, s = dom.build()
 
     adiags = tuple(jnp.ones_like(g.det) for g in geoms)
     p_ops = st_mod.build_pressure_ops(adiags, geoms, topo)

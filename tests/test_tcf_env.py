@@ -75,3 +75,24 @@ def test_tcf_smagorinsky_runs():
     obs, _ = env.reset(seed=0)
     obs, reward, *_ = env.step(env.sample_action())
     assert np.isfinite(float(np.asarray(reward)))
+
+
+def test_prep_fn_before_additional_initialization():
+    """The base reset calls _get_prep_fn BEFORE _additional_initialization
+    (fluid_env.py); on the disk-load path _channel_info is not yet built --
+    it must be rebuilt lazily rather than crash (default-config regression)."""
+    env = fluidgym_tpu.make("TCFSmall3D-bottom-easy-v0", use_marl=False, **DEV_KW)
+    assert not hasattr(env, "_channel_info")
+    hooks = env._get_prep_fn()  # must not raise
+    assert hooks and hasattr(env, "_channel_info")
+
+
+def test_both_env_local_obs_honors_requested_slice():
+    env = fluidgym_tpu.make("TCFSmall3D-both-easy-v0", use_marl=True,
+                            **DEV_KW)
+    env.reset(seed=0)
+    both = env._pure_local_obs(env._state)
+    bottom_only = env._pure_local_obs(env._state,
+                                      y_idx=env._y_obs_bottom_idx)
+    for k in both:
+        assert both[k].shape[0] == 2 * bottom_only[k].shape[0]
