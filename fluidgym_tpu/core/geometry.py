@@ -36,6 +36,7 @@ __all__ = [
     "coords_to_transforms",
     "cell_centers",
     "is_orthogonal",
+    "make_torus_2d",
 ]
 
 
@@ -263,16 +264,22 @@ def extrude_grid_z(
     start_z: float = 0.0,
     end_z: float = 1.0,
     weights_z=None,
-    exp_base: float = 1.05,
+    exp_base: float | None = None,
 ) -> np.ndarray:
     """Extrude a 2D vertex grid along z (reference shapes.py:641).
 
-    Returns ``(3, res_z+1, ny+1, nx+1)``.
+    Default (no ``weights_z``, no ``exp_base``): UNIFORM z spacing, matching
+    the reference; pass ``exp_base`` explicitly for exponential BOTH-wall
+    z refinement.  Returns ``(3, res_z+1, ny+1, nx+1)``.
     """
     if grid.ndim != 3 or grid.shape[0] != 2:
         raise ValueError("grid must have shape (2, ny+1, nx+1)")
     if weights_z is not None:
         w = np.asarray(weights_z, dtype=np.float64)
+        if len(w) != res_z + 1:
+            raise ValueError(
+                f"weights_z must have length res_z+1={res_z + 1}, "
+                f"got {len(w)}")
     elif exp_base and exp_base != 1:
         w = make_weights_exp(res_z, base=exp_base, refinement="BOTH")
     else:

@@ -277,6 +277,7 @@ class CylinderJetEnv3D(CylinderEnvBase):
         return carry, local_obs, agent_rewards, info
 
     def _jitted_marl_step(self):
+        self._sync_jit_cache()
         if "marl_step" not in self._jit_cache:
             self._jit_cache["marl_step"] = jax.jit(self._pure_step_marl)
         return self._jit_cache["marl_step"]

@@ -384,7 +384,30 @@ class FluidEnv(ABC, FluidEnvLike):
         """Pure MARL observation extraction from a domain state."""
         raise NotImplementedError
 
+    def _trace_fingerprint(self) -> tuple:
+        """Hashable snapshot of every MUTABLE attribute that gets baked into
+        jitted-step traces as a compile-time constant (action gating, reward
+        normalization references from the loaded statistics).  Part of the
+        jit-cache key: without it, toggling ``_enable_actions`` (env.init())
+        or loading statistics after the first trace would silently keep
+        running the stale program."""
+        stats = tuple(sorted(
+            (k, tuple(v.__dict__.items()) if hasattr(v, "__dict__")
+             else tuple(v))
+            for k, v in self._metrics_stats.items()
+        ))
+        return (self._enable_actions, stats)
+
+    def _sync_jit_cache(self) -> None:
+        """Invalidate cached jitted programs when any trace-baked value
+        changed (config, topology, or the mutable fingerprint)."""
+        key = (self._topo, self._cfg, self._trace_fingerprint())
+        if getattr(self, "_jit_key", None) != key:
+            self._jit_cache.clear()
+            self._jit_key = key
+
     def _jitted_env_step(self):
+        self._sync_jit_cache()
         if "env_step" not in self._jit_cache:
             self._jit_cache["env_step"] = jax.jit(self._pure_step)
         return self._jit_cache["env_step"]
@@ -455,9 +478,10 @@ class FluidEnv(ABC, FluidEnvLike):
         # jitted closures stay valid as long as (topo, cfg) are unchanged --
         # without this every reset (and every env slot of a BatchedFluidEnv
         # reset) recompiles the full PISO step
-        if getattr(self, "_jit_key", None) != (self._topo, new_cfg):
+        key = (self._topo, new_cfg, self._trace_fingerprint())
+        if getattr(self, "_jit_key", None) != key:
             self._jit_cache.clear()
-            self._jit_key = (self._topo, new_cfg)
+            self._jit_key = key
         self._cfg = new_cfg
         self._additional_initialization()
 
@@ -553,7 +577,8 @@ class FluidEnv(ABC, FluidEnvLike):
                 self._hooks = self._get_prep_fn()
                 self._cfg = self._get_simulation()
                 self._jit_cache.clear()
-                self._jit_key = (self._topo, self._cfg)
+                self._jit_key = (self._topo, self._cfg,
+                                 self._trace_fingerprint())
                 self._additional_initialization()
         self._state = jax.lax.stop_gradient(state.domain)
         self._n_steps = state.n_steps
@@ -637,9 +662,10 @@ class FluidEnv(ABC, FluidEnvLike):
             mode, idx, user_only=user_only)
         self._hooks = self._get_prep_fn()
         new_cfg = self._get_simulation()
-        if getattr(self, "_jit_key", None) != (self._topo, new_cfg):
+        key = (self._topo, new_cfg, self._trace_fingerprint())
+        if getattr(self, "_jit_key", None) != key:
             self._jit_cache.clear()
-            self._jit_key = (self._topo, new_cfg)
+            self._jit_key = key
         self._cfg = new_cfg
         self._additional_initialization()
         self._reset_called = True

@@ -211,10 +211,8 @@ class RBCEnvBase(FluidEnv):
 
     def _additional_initialization(self) -> None:
         # gather-based resampling plan to the render grid (replaces the
-        # reference's scatter splat; exact for this rectilinear block)
-        grid = np.asarray(
-            jax.device_get(self._geoms[0].centers), np.float64
-        )  # not the vertex grid; rebuild from env params for exactness
+        # reference's scatter splat; exact for this rectilinear block) --
+        # built from env params, not device-held centers (no host sync)
         self._resample_plan = make_rectilinear_plan(
             self._make_vertex_grid(), self.render_shape[: self._ndims]
         )
@@ -386,6 +384,7 @@ class RBCEnvBase(FluidEnv):
         return state, local_obs, agent_rewards, info
 
     def _jitted_marl_step(self):
+        self._sync_jit_cache()
         if "marl_step" not in self._jit_cache:
             self._jit_cache["marl_step"] = jax.jit(self._pure_step_marl)
         return self._jit_cache["marl_step"]

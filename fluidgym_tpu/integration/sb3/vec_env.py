@@ -76,7 +76,9 @@ class VecFluidEnv(_SB3VecEnv):
     def step_async(self, actions: np.ndarray) -> None:
         a = jnp.asarray(actions)
         if a.ndim > 2:
-            a = a[..., None] if False else a
+            # reference adapter unsqueezes multi-dimensional per-agent
+            # actions (vec_env.py: actions.unsqueeze(-1))
+            a = a[..., None]
         self._actions = a
 
     def step_wait(self):

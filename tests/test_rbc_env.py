@@ -151,3 +151,23 @@ def test_set_state_on_fresh_env():
     # and it can step from the restored state
     obs, r, *_ = env_b.step(env_b._zero_action)
     assert np.isfinite(np.asarray(r)).all()
+
+
+def test_enable_actions_toggle_invalidates_jit_cache():
+    """Mutable trace-baked values (action gating, reward refs) are part of
+    the jit-cache key: after env.init() toggles _enable_actions back on, the
+    next step must not reuse the stale actions-disabled program."""
+    kw = dict(DEV_KW, n_heaters=4, resolution=4, enable_actions=False)
+    env = fluidgym_tpu.make("RBC2D-easy-v0", **kw)
+    env.reset(seed=0)
+    snap = env.get_state()
+    big = jnp.zeros_like(env._zero_action).at[0].set(1.0)  # non-uniform:
+    # the heater control is zero-meaned, so a uniform action is a no-op
+    obs_off, *_ = env.step(big)          # traced with actions disabled
+
+    env._enable_actions = True           # what init() does on exit
+    env.set_state(snap)
+    obs_on, *_ = env.step(big)           # must retrace and apply the action
+    diff = max(float(np.abs(np.asarray(obs_on[k]) - np.asarray(obs_off[k])).max())
+               for k in obs_on)
+    assert diff > 1e-6, "stale actions-disabled trace was reused"
