@@ -28,9 +28,10 @@ __all__ = ["EvalCallback"]
 
 
 class EvalCallback(_BaseCallback):
-    """Periodic evaluation + logging callback (eval_callback.py:20-281)."""
+    """Periodic evaluation + logging callback (eval_callback.py:20-281).
 
-    train_mode: str = "train"
+    Evaluation episodes run with the eval env switched to VAL mode (its
+    initial-domain split); the mode is restored afterwards."""
 
     def __init__(
         self,
@@ -137,28 +138,47 @@ class EvalCallback(_BaseCallback):
     def _on_training_end(self) -> None:
         import pandas as pd
 
-        logged_df = pd.DataFrame(self.logged_data)
-        if Path("training_log.csv").exists():
-            existing = pd.read_csv("training_log.csv")
-            existing.to_csv("training_log_backup.csv", index=False)
-            logged_df = pd.concat([existing, logged_df], ignore_index=True)
-        logged_df.to_csv("training_log.csv", index=False)
+        self._write_training_log(pd)
         if self.checkpoint_latest:
             self._save_model()
+
+    def _write_training_log(self, pd) -> None:
+        """Write prior-run rows (snapshotted and backed up once) + the
+        current run's rows.  Merging against the on-disk file instead would
+        duplicate rows already written by earlier _eval_step calls."""
+        if not hasattr(self, "_prior_log_df"):
+            if Path("training_log.csv").exists():
+                self._prior_log_df = pd.read_csv("training_log.csv")
+                self._prior_log_df.to_csv("training_log_backup.csv",
+                                          index=False)
+            else:
+                self._prior_log_df = None
+        logged_df = pd.DataFrame(self.logged_data)
+        if self._prior_log_df is not None:
+            logged_df = pd.concat([self._prior_log_df, logged_df],
+                                  ignore_index=True)
+        logged_df.to_csv("training_log.csv", index=False)
 
     def _eval_step(self) -> None:
         import pandas as pd
 
-        mean_eval_reward = self._evaluate_model(
-            self.eval_env, randomize=False, log=True, save=self.save_evaluation)
-        if self.n_eval_episodes > 1:
-            rewards = [mean_eval_reward]
-            for _ in range(self.n_eval_episodes - 1):
-                rewards.append(self._evaluate_model(
-                    self.eval_env, randomize=True, log=False, save=False))
-            mean_eval_reward = float(np.mean(rewards))
+        if hasattr(self.eval_env, "val"):
+            self.eval_env.val()
+        try:
+            mean_eval_reward = self._evaluate_model(
+                self.eval_env, randomize=False, log=True,
+                save=self.save_evaluation)
+            if self.n_eval_episodes > 1:
+                rewards = [mean_eval_reward]
+                for _ in range(self.n_eval_episodes - 1):
+                    rewards.append(self._evaluate_model(
+                        self.eval_env, randomize=True, log=False, save=False))
+                mean_eval_reward = float(np.mean(rewards))
+        finally:
+            if hasattr(self.eval_env, "train"):
+                self.eval_env.train()
 
-        pd.DataFrame(self.logged_data).to_csv("training_log.csv", index=False)
+        self._write_training_log(pd)
         if self.checkpoint_latest:
             self._save_model()
 

@@ -33,15 +33,6 @@ __all__ = ["update_advective_boundaries", "balance_boundary_fluxes",
            "make_convective_outflow_hook"]
 
 
-def _face_interior_slab(field: Array, f: int) -> Array:
-    """Interior cell values adjacent to face f (shape of the face slab)."""
-    d = face_axis(f)
-    ax = field.ndim - 1 - d
-    idx = [slice(None)] * field.ndim
-    idx[ax] = slice(-1, None) if f % 2 else slice(0, 1)
-    return field[tuple(idx)]
-
-
 def update_advective_boundaries(
     state: DomainState,
     geoms,
@@ -54,7 +45,6 @@ def update_advective_boundaries(
     (reference update_advective_boundaries, PISOtorch_simulation.py:228-393).
     ``out_faces``: (block, face) pairs; ``char_vel``: characteristic velocity.
     """
-    ndims = topo.ndims
     cv = jnp.asarray(char_vel, state.blocks[0].velocity.dtype)
     for b, f in out_faces:
         blk = state.blocks[b]
@@ -69,16 +59,20 @@ def update_advective_boundaries(
         else:
             minv_row = _slab_trailing(geom.minv, f, 2)[..., d, :]
             adv = _slab(geom.det, f) * jnp.einsum("...i,i->...", minv_row, cv)
+        # outward-positive: on a LOWER face an outflow has negative
+        # contravariant velocity; without the sign the interpolation weight
+        # goes negative (anti-advection) and can divide by zero at alpha=-1
+        adv = face_sign(f) * adv
         alpha = dt * 2.0 * adv
         t = 1.0 - 1.0 / (1.0 + alpha)  # interpolation weight (:354)
 
         faces = list(blk.faces)
         fd = faces[f]
-        vel_slice = _face_interior_slab(blk.velocity, f)
+        vel_slice = _slab(blk.velocity, f)
         new_vel = fd.velocity - t * (fd.velocity - vel_slice)
         new_scal = fd.scalar
         if fd.scalar is not None and blk.scalar is not None:
-            scal_slice = _face_interior_slab(blk.scalar, f)
+            scal_slice = _slab(blk.scalar, f)
             new_scal = fd.scalar - t * (fd.scalar - scal_slice)
         faces[f] = replace(fd, velocity=new_vel, scalar=new_scal)
         state = state.replace_block(b, replace(blk, faces=tuple(faces)))
@@ -119,12 +113,22 @@ def balance_boundary_fluxes(
             else:
                 fixed_flux = fixed_flux + flux
 
+    # only faces that actually contributed to var_flux may be scaled:
+    # non-FIXED faces or faces without a velocity array were excluded from
+    # the accumulation, so scaling them would not achieve the balance (and
+    # velocity=None would crash)
+    eligible = tuple(
+        (b, f) for b, f in free_faces
+        if topo.blocks[b].faces[f].kind == BoundKind.FIXED
+        and state.blocks[b].faces[f].velocity is not None
+    )
+
     imbalance = fixed_flux + var_flux
     needs = jnp.abs(imbalance) > (tol * 0.01)
     scale = -fixed_flux / jnp.where(var_flux == 0, 1.0, var_flux)
     scale = jnp.where(needs & (var_flux != 0), scale, 1.0)
 
-    for b, f in free_faces:
+    for b, f in eligible:
         blk = state.blocks[b]
         faces = list(blk.faces)
         fd = faces[f]

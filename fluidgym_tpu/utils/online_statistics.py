@@ -38,7 +38,9 @@ class WelfordState(NamedTuple):
 
 
 def welford_init(shape, dtype=jnp.float32) -> WelfordState:
-    return WelfordState(jnp.zeros((), dtype), jnp.zeros(shape, dtype),
+    # count stays float32 regardless of the data dtype: in bfloat16 it
+    # saturates at 256 (fp16: 2048) and the statistics silently freeze
+    return WelfordState(jnp.zeros((), jnp.float32), jnp.zeros(shape, dtype),
                         jnp.zeros(shape, dtype))
 
 
@@ -66,7 +68,7 @@ class CovarianceState(NamedTuple):
 
 def covariance_init(shape, dtype=jnp.float32) -> CovarianceState:
     z = jnp.zeros(shape, dtype)
-    return CovarianceState(jnp.zeros((), dtype), z, z, z)
+    return CovarianceState(jnp.zeros((), jnp.float32), z, z, z)
 
 
 def covariance_update(state: CovarianceState, a: Array, b: Array) -> CovarianceState:
@@ -94,7 +96,7 @@ class MomentsState(NamedTuple):
 
 def moments_init(shape, dtype=jnp.float32) -> MomentsState:
     z = jnp.zeros(shape, dtype)
-    return MomentsState(jnp.zeros((), dtype), z, z, z, z)
+    return MomentsState(jnp.zeros((), jnp.float32), z, z, z, z)
 
 
 def moments_update(state: MomentsState, x: Array) -> MomentsState:
@@ -114,12 +116,16 @@ def moments_update(state: MomentsState, x: Array) -> MomentsState:
 
 
 def moments_finalize(state: MomentsState):
-    """Returns (mean, variance, skewness, flatness)."""
+    """Returns (mean, variance, skewness, flatness); zero-variance input
+    yields skew=flat=0 rather than NaN (1e-30 guards underflow in fp32:
+    sd**3 = 1e-45 -> 0)."""
     n = jnp.maximum(state.count, 1)
     var = state.m2 / n
-    sd = jnp.sqrt(jnp.maximum(var, 1e-30))
-    skew = (state.m3 / n) / sd**3
-    flat = (state.m4 / n) / var**2
+    ok = var > 0
+    safe_var = jnp.where(ok, var, 1.0)
+    sd3 = safe_var * jnp.sqrt(safe_var)
+    skew = jnp.where(ok, (state.m3 / n) / sd3, 0.0)
+    flat = jnp.where(ok, (state.m4 / n) / safe_var**2, 0.0)
     return state.mean, var, skew, flat
 
 
@@ -131,7 +137,7 @@ class PSDState(NamedTuple):
 
 
 def psd_init(n_freq: int, shape_rest=(), dtype=jnp.float32) -> PSDState:
-    return PSDState(jnp.zeros((), dtype),
+    return PSDState(jnp.zeros((), jnp.float32),
                     jnp.zeros((n_freq, *shape_rest), dtype))
 
 
@@ -257,7 +263,7 @@ def budget_finalize(state: BudgetState, pos_y, viscosity: float,
     # <u_i'^2 v'> from raw moments
     tflux = jnp.stack([
         state.uuv[i] - 2 * mean_u[i] * state.uiv[i]
-        - mean_u[v_idx] * state.uu[i if i != 1 else 1]
+        - mean_u[v_idx] * state.uu[i]
         + 2 * mean_u[i] ** 2 * mean_u[v_idx]
         for i in range(3)
     ])

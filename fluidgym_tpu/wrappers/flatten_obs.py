@@ -16,18 +16,36 @@ __all__ = ["FlattenObservation"]
 
 
 class FlattenObservation(FluidWrapper):
-    """Concatenate the default observation keys into one flat Box observation;
-    the original dict entries are preserved in info as ``original_<key>``."""
+    """Concatenate observation keys into one flat Box observation; the
+    original dict entries are preserved in info as ``original_<key>``.
 
-    def __init__(self, env: FluidEnvLike) -> None:
+    ``keys=None`` keeps the reference behavior (temperature/velocity,
+    reference flatten_obs.py:13) but falls back to ALL space keys when none
+    of the defaults are present -- otherwise wrapping a cylinder/airfoil env
+    (velocity + pressure only) would silently drop the pressure sensors.
+    Pass ``keys`` explicitly to control the selection/order.
+    """
+
+    def __init__(self, env: FluidEnvLike,
+                 keys: list[str] | None = None) -> None:
         super().__init__(env)
         if not isinstance(self._env.observation_space, spaces.Dict):
             raise ValueError(
                 "FlattenObservation wrapper only supports Dict observation spaces."
             )
-        self.__keys = [
-            k for k in DEFAULT_KEYS if k in self._env.observation_space.spaces
-        ]
+        space_keys = self._env.observation_space.spaces
+        if keys is not None:
+            missing = [k for k in keys if k not in space_keys]
+            if missing:
+                raise ValueError(
+                    f"keys {missing} not in the observation space "
+                    f"({sorted(space_keys)})"
+                )
+            self.__keys = list(keys)
+        else:
+            self.__keys = [k for k in DEFAULT_KEYS if k in space_keys]
+            if not self.__keys:
+                self.__keys = sorted(space_keys)
         self.__observation_space = flatten_dict_space(
             self._env.observation_space, keys=self.__keys
         )
