@@ -134,27 +134,42 @@ def cg(
 
     def body(carry):
         x, r, p, rz, rs, it, best_x, best_rs, best_it = carry
-        Ap = matvec(p)
-        denom = _vdot(p, Ap).astype(dt)
         tiny = jnp.asarray(1e-30, dt)
-        alpha = rz / jnp.where(jnp.abs(denom) < tiny, tiny, denom)
-        x = _axpy(alpha, p, x)
-        r = _axpy(-alpha, Ap, r)
-        # periodic residual recomputation against fp32 drift (reference
-        # residual_reset_step=100 for the pressure solve)
+        # Per-lane freeze: under vmap the batched while_loop runs until the
+        # SLOWEST lane converges and keeps applying the body to all lanes;
+        # masking the scalar step sizes to zero freezes converged/stalled
+        # lanes at exactly the iterate a single-env solve would return
+        # (reference: per-batch LinearSolverResultInfo, PISOtorch.cpp:567).
+        # In the unbatched path the loop exits before ``done`` can be true,
+        # so this is a no-op there.
+        done = jnp.logical_or(rs <= tol2_sum, it - best_it >= stall_iters)
+        # Periodic TRUE-residual recomputation against fp32 drift (reference
+        # residual_reset_step=100).  Implemented as a maintenance iteration
+        # that spends its single matvec on A@x instead of A@p -- a batched
+        # lax.cond would evaluate BOTH branches (two matvecs per iteration
+        # for every vmapped solve); selecting the matvec INPUT keeps the hot
+        # loop at one matvec regardless of batching.
         recompute = (it + 1) % 100 == 0
-        r = jax.lax.cond(
-            recompute,
-            lambda xx: jax.tree.map(lambda bb, ax: bb - ax, b, matvec(xx)),
-            lambda xx: r,
-            x,
+        Av = matvec(_where(recompute, x, p))  # recompute ? A@x : A@p
+        denom = _vdot(p, Av).astype(dt)
+        alpha = jnp.where(
+            jnp.logical_or(done, recompute),
+            jnp.asarray(0, dt),
+            rz / jnp.where(jnp.abs(denom) < tiny, tiny, denom),
         )
+        x = _axpy(alpha, p, x)
+        r_true = jax.tree.map(lambda bb, av: bb - av, b, Av)
+        r = _where(recompute, r_true, _axpy(-alpha, Av, r))
         z = precond(r) if precond is not None else r
         rz_new = _vdot(r, z).astype(dt)
         rs_new = _vdot(r, r).astype(dt)
-        beta = rz_new / jnp.where(jnp.abs(rz) < tiny, tiny, rz)
+        beta = jnp.where(
+            done,
+            jnp.asarray(0, dt),
+            rz_new / jnp.where(jnp.abs(rz) < tiny, tiny, rz),
+        )
         p = _scale_add(z, beta, p)
-        better = rs_new < best_rs
+        better = jnp.logical_and(rs_new < best_rs, jnp.logical_not(done))
         best_x = _where(better, x, best_x)
         best_rs = jnp.where(better, rs_new, best_rs)
         best_it = jnp.where(better, it + 1, best_it)
@@ -214,23 +229,31 @@ def bicgstab(
 
     def body(carry):
         x, r, p, rho, rs, it, best_x, best_rs, best_it = carry
-        v = matvec(p)
         tiny = jnp.asarray(1e-30, dt)
+        # per-lane freeze under vmap (see cg); no-op in the unbatched path
+        done = jnp.logical_or(rs <= tol2_sum, it - best_it >= stall_iters)
+        not_done = jnp.logical_not(done)
+        v = matvec(p)
         denom = _vdot(r_hat, v).astype(dt)
-        alpha = rho / jnp.where(jnp.abs(denom) < tiny, tiny, denom)
+        alpha = jnp.where(
+            done, jnp.asarray(0, dt),
+            rho / jnp.where(jnp.abs(denom) < tiny, tiny, denom))
         s = _axpy(-alpha, v, r)
         t = matvec(s)
         tt = _vdot(t, t).astype(dt)
-        omega = _vdot(t, s).astype(dt) / jnp.where(tt < tiny, tiny, tt)
+        omega = jnp.where(
+            done, jnp.asarray(0, dt),
+            _vdot(t, s).astype(dt) / jnp.where(tt < tiny, tiny, tt))
         x = jax.tree.map(lambda xx, pp, ss: xx + alpha * pp + omega * ss, x, p, s)
         r = _axpy(-omega, t, s)
-        rho_new = _vdot(r_hat, r).astype(dt)
-        beta = (rho_new / jnp.where(jnp.abs(rho) < tiny, tiny, rho)) * (
-            alpha / jnp.where(jnp.abs(omega) < tiny, tiny, omega)
-        )
+        rho_new = jnp.where(done, rho, _vdot(r_hat, r).astype(dt))
+        beta = jnp.where(
+            done, jnp.asarray(0, dt),
+            (rho_new / jnp.where(jnp.abs(rho) < tiny, tiny, rho))
+            * (alpha / jnp.where(jnp.abs(omega) < tiny, tiny, omega)))
         p = jax.tree.map(lambda rr, pp, vv: rr + beta * (pp - omega * vv), r, p, v)
-        rs_new = _vdot(r, r).astype(dt)
-        better = rs_new < best_rs
+        rs_new = jnp.where(done, rs, _vdot(r, r).astype(dt))
+        better = jnp.logical_and(rs_new < best_rs, not_done)
         best_x = _where(better, x, best_x)
         best_rs = jnp.where(better, rs_new, best_rs)
         best_it = jnp.where(better, it + 1, best_it)

@@ -70,3 +70,49 @@ def test_cg_jit_and_grad():
     b = jnp.ones((n,), jnp.float32)
     x = solve(b)
     assert np.allclose(np.asarray(Aj @ x), np.asarray(b), atol=1e-3)
+
+
+def test_vmapped_cg_matches_single_solves():
+    """Per-lane freeze masking: a vmapped batch of solves returns, for every
+    lane, the iterate a standalone solve of that lane would return -- even
+    when the lanes need very different iteration counts (the batched
+    while_loop runs until the slowest lane converges)."""
+    n = 64
+    rng = np.random.default_rng(3)
+    mats, rhss = [], []
+    for cond_boost in (1.0, 50.0, 2000.0):  # very different conditioning
+        A = _random_spd(n, seed=int(cond_boost))
+        A[0, 0] *= cond_boost
+        mats.append(A)
+        rhss.append(rng.normal(size=(n,)))
+    Ab = jnp.asarray(np.stack(mats), jnp.float32)
+    bb = jnp.asarray(np.stack(rhss), jnp.float32)
+
+    def solve(A, b):
+        return linsolve.cg(lambda v: A @ v, b, tol=1e-6, maxiter=400)
+
+    xs_b, info_b = jax.vmap(solve)(Ab, bb)
+    for i in range(3):
+        x_s, info_s = solve(Ab[i], bb[i])
+        assert bool(info_b.converged[i]) == bool(info_s.converged)
+        np.testing.assert_allclose(np.asarray(xs_b[i]), np.asarray(x_s),
+                                   rtol=0, atol=1e-6)
+
+
+def test_vmapped_bicgstab_matches_single_solves():
+    n = 48
+    rng = np.random.default_rng(4)
+    mats = [np.eye(n) * s + rng.normal(size=(n, n)) for s in (n, 4 * n)]
+    rhss = [rng.normal(size=(n,)) for _ in mats]
+    Ab = jnp.asarray(np.stack(mats), jnp.float32)
+    bb = jnp.asarray(np.stack(rhss), jnp.float32)
+
+    def solve(A, b):
+        return linsolve.bicgstab(lambda v: A @ v, b, tol=1e-6, maxiter=400)
+
+    xs_b, info_b = jax.vmap(solve)(Ab, bb)
+    for i in range(len(mats)):
+        x_s, info_s = solve(Ab[i], bb[i])
+        assert bool(info_b.converged[i]) == bool(info_s.converged)
+        np.testing.assert_allclose(np.asarray(xs_b[i]), np.asarray(x_s),
+                                   rtol=0, atol=1e-6)
