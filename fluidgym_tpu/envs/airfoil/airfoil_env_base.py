@@ -41,6 +41,7 @@ from fluidgym_tpu.envs.util.multiblock_resample import (
 from fluidgym_tpu.envs.util.profiles import get_jet_profile
 from fluidgym_tpu.envs.util.wall_forces import WallForcesMixin
 from fluidgym_tpu.solver.boundaries import balance_boundary_fluxes, make_convective_outflow_hook
+from fluidgym_tpu.solver import piso
 from fluidgym_tpu.solver.piso import (
     ADAPTIVE,
     Hooks,
@@ -403,11 +404,12 @@ class AirfoilEnvBase(WallForcesMixin, FluidEnv):
             ctrl = ctrl + alpha * (action - ctrl)
             if self._enable_actions:
                 s = self._pure_apply_action(s, ctrl)
-            s = single_step(s, self._geoms, self._topo, self._cfg, self._hooks)
+            s, si = piso.single_step_info(
+                s, self._geoms, self._topo, self._cfg, self._hooks)
             cd, cl = self._pure_drag_lift(s)
-            return (s, ctrl), (cd, cl)
+            return (s, ctrl), (cd, cl, si)
 
-        (dstate, last_control), (cds, cls) = jax.lax.scan(
+        (dstate, last_control), (cds, cls, sis) = jax.lax.scan(
             body, (dstate, last_control), None, length=self._n_sim_steps)
         obs = self._pure_global_obs(dstate)
         cd_mean = jnp.mean(cds, axis=0)
@@ -416,6 +418,7 @@ class AirfoilEnvBase(WallForcesMixin, FluidEnv):
         cl = jnp.sum(cl_mean)
         reward = (cl / cd) - self._cl_cd_ref
         info = {"drag": cd_mean, "lift": cl_mean}
+        info.update(piso.solver_info_dict(piso.combine_scan_infos(sis)))
         return (dstate, last_control), obs, reward, info
 
     def _step_impl(self, action: Array):

@@ -43,6 +43,7 @@ from fluidgym_tpu.envs.util.multiblock_resample import (
 )
 from fluidgym_tpu.envs.util.wall_forces import WallForcesMixin
 from fluidgym_tpu.solver.boundaries import make_convective_outflow_hook
+from fluidgym_tpu.solver import piso
 from fluidgym_tpu.solver.piso import (
     ADAPTIVE,
     Hooks,
@@ -372,11 +373,12 @@ class CylinderEnvBase(WallForcesMixin, FluidEnv):
             ctrl = ctrl + alpha * (action - ctrl)
             if self._enable_actions:
                 s = self._pure_apply_action(s, ctrl)
-            s = single_step(s, self._geoms, self._topo, self._cfg, self._hooks)
+            s, si = piso.single_step_info(
+                s, self._geoms, self._topo, self._cfg, self._hooks)
             cd, cl = self._pure_drag_lift(s)
-            return (s, ctrl), (cd, cl)
+            return (s, ctrl), (cd, cl, si)
 
-        (dstate, last_control), (cds, cls) = jax.lax.scan(
+        (dstate, last_control), (cds, cls, sis) = jax.lax.scan(
             body, (dstate, last_control), None, length=self._n_sim_steps)
         obs = self._pure_global_obs(dstate)
         cd_mean = jnp.mean(cds, axis=0)
@@ -385,6 +387,7 @@ class CylinderEnvBase(WallForcesMixin, FluidEnv):
         cl = jnp.sum(cl_mean)
         reward = self._cd_ref - cd - self._lift_penalty * jnp.abs(cl)
         info = {"drag": cd_mean, "lift": cl_mean}
+        info.update(piso.solver_info_dict(piso.combine_scan_infos(sis)))
         return (dstate, last_control), obs, reward, info
 
     def _step_impl(self, action: Array):

@@ -351,20 +351,22 @@ class RBCEnvBase(FluidEnv):
     def _pure_step(self, state: DomainState, action: Array):
         """Pure env step (rbc_env_base.py:579-595): apply control, run
         n_sim_steps of adaptive PISO, compute Nusselt, observations, reward."""
-        from fluidgym_tpu.solver.piso import single_step as _single_step
+        from fluidgym_tpu.solver import piso
 
         if self._enable_actions:
             state = self._pure_apply_action(state, action)
 
         def body(s, _):
-            return _single_step(s, self._geoms, self._topo, self._cfg,
-                                self._hooks), None
+            s, si = piso.single_step_info(s, self._geoms, self._topo,
+                                          self._cfg, self._hooks)
+            return s, si
 
-        state, _ = jax.lax.scan(body, state, None, length=self._n_sim_steps)
+        state, sis = jax.lax.scan(body, state, None, length=self._n_sim_steps)
         nu = self._pure_nusselt(state)
         obs = self._pure_global_obs(state)
         reward = self.nu_ref - nu
         info = {"nusselt": nu[0]}
+        info.update(piso.solver_info_dict(piso.combine_scan_infos(sis)))
         return state, obs, reward, info
 
     def _pure_step_marl(self, state: DomainState, actions: Array):

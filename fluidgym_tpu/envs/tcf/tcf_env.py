@@ -37,6 +37,8 @@ from fluidgym_tpu.envs.tcf.grid import (
     van_driest_sqr_from_centers,
 )
 from fluidgym_tpu.envs.util.obs_extraction import extract_moving_window_2d_x_z
+from fluidgym_tpu.types import EnvMode
+from fluidgym_tpu.solver import piso
 from fluidgym_tpu.solver.piso import (
     ADAPTIVE,
     Hooks,
@@ -394,12 +396,13 @@ class TCF3DBottomEnv(FluidEnv):
             state = self._pure_apply_action(state, action)
 
         def body(s, _):
-            s = single_step(s, self._geoms, self._topo, self._cfg, self._hooks)
+            s, si = piso.single_step_info(
+                s, self._geoms, self._topo, self._cfg, self._hooks)
             tb, tt = self._pure_wall_stress(s)
-            return s, (tb, tt)
+            return s, (tb, tt, si)
 
-        state, (tbs, tts) = jax.lax.scan(body, state, None,
-                                         length=self._n_sim_steps)
+        state, (tbs, tts, sis) = jax.lax.scan(body, state, None,
+                                              length=self._n_sim_steps)
         tau_bottom = jnp.mean(tbs)
         tau_top = jnp.mean(tts)
         tau_total = 0.5 * (tau_bottom + tau_top)
@@ -407,6 +410,7 @@ class TCF3DBottomEnv(FluidEnv):
         obs = self._pure_global_obs(state)
         info = {"wall_stress": tau_total, "wall_stress_bottom": tau_bottom,
                 "wall_stress_top": tau_top}
+        info.update(piso.solver_info_dict(piso.combine_scan_infos(sis)))
         return state, obs, reward, info
 
     def _pure_step_marl(self, state: DomainState, actions: Array):
@@ -487,6 +491,53 @@ class TCF3DBottomEnv(FluidEnv):
                 view_kwargs={"elev": 20, "azim": 45},
             )
         return data
+
+    # ------------------------------------------------------------------
+    # opposition-control episode archival (reference tcf_env.py:1017-1062):
+    # classical opposition control (Choi et al. 1994) episodes are recorded
+    # next to the initial-domain dataset so learned policies can be compared
+    # against the classical baseline per domain snapshot.
+    # ------------------------------------------------------------------
+    def _opposition_episode_path(self, mode: EnvMode, idx: int,
+                                 write: bool = False) -> Path:
+        from fluidgym_tpu.utils import data_utils
+
+        root = data_utils.initial_domain_dir(self.initial_domain_id,
+                                             write=write)
+        return root / (f"{mode.value}_{idx:02d}_opposition_control_"
+                       f"{self._actuation}_episode.csv")
+
+    def save_opposition_control_episode(self, idx: int, mode: EnvMode,
+                                        rows) -> None:
+        """Archive per-step metrics of an opposition-control episode
+        (reference save_opposition_control_episode, tcf_env.py:1017-1039).
+
+        ``rows``: a pandas DataFrame or a list of per-step dicts."""
+        import csv
+
+        path = self._opposition_episode_path(mode, idx, write=True)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        if hasattr(rows, "to_csv"):  # DataFrame
+            rows.to_csv(path, index=False)
+            return
+        rows = list(rows)
+        if not rows:
+            return
+        with open(path, "w", newline="") as fh:
+            writer = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+            writer.writeheader()
+            writer.writerows(rows)
+
+    def load_opposition_control_episode(self, idx: int, mode: EnvMode):
+        """Load an archived opposition-control episode as a DataFrame
+        (reference load_opposition_control_episode, tcf_env.py:1041-1062)."""
+        import pandas as pd
+
+        path = self._opposition_episode_path(mode, idx)
+        if not path.exists():
+            raise FileNotFoundError(
+                f"no opposition-control episode at {path}")
+        return pd.read_csv(path)
 
     @property
     def initial_domain_id(self) -> str:

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, replace
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -52,13 +52,71 @@ from fluidgym_tpu.solver import stencil as st
 
 Array = jax.Array
 
-__all__ = ["SimConfig", "Hooks", "piso_substep", "piso_adaptive_step",
-           "piso_fixed_steps", "single_step", "make_divergence_free",
+__all__ = ["SimConfig", "Hooks", "StepInfo", "piso_substep",
+           "piso_substep_info", "piso_adaptive_step", "piso_fixed_steps",
+           "single_step", "single_step_info", "make_divergence_free",
            "jit_make_divergence_free", "advect_static", "get_max_time_step"]
 
 Hooks = dict[str, tuple[Callable[..., DomainState], ...]]
 
 ADAPTIVE = -1
+
+
+class StepInfo(NamedTuple):
+    """Aggregated solver-convergence metadata for a (sub)step -- the signal
+    the reference surfaces by raising ``LinsolveError`` and returning False
+    from ``single_step`` (PISOtorch_diff.py:262-371, simulation.py:266-280).
+    Here failure is data, not control flow (jitted programs cannot raise):
+    envs expose these in the step ``info`` dict so callers can detect a
+    diverged/stalled pressure solve instead of meeting silent NaNs."""
+
+    pressure_converged: Array    # bool: AND over every pressure solve
+    pressure_iterations: Array   # int32: total Krylov iterations (0 = untracked)
+    pressure_residual: Array     # float: max normalized residual over solves
+    advection_converged: Array   # bool: AND over velocity/scalar solves
+
+
+def _info_identity(dtype) -> StepInfo:
+    return StepInfo(
+        pressure_converged=jnp.asarray(True),
+        pressure_iterations=jnp.asarray(0, jnp.int32),
+        pressure_residual=jnp.asarray(0.0, dtype),
+        advection_converged=jnp.asarray(True),
+    )
+
+
+def combine_scan_infos(si: StepInfo) -> StepInfo:
+    """Collapse a stacked ``StepInfo`` (e.g. the ys of a ``lax.scan`` over
+    sim steps) into one: AND over converged flags, summed iterations, max
+    residual."""
+    return StepInfo(
+        pressure_converged=jnp.all(si.pressure_converged),
+        pressure_iterations=jnp.sum(si.pressure_iterations),
+        pressure_residual=jnp.max(si.pressure_residual),
+        advection_converged=jnp.all(si.advection_converged),
+    )
+
+
+def solver_info_dict(si: StepInfo) -> dict[str, Array]:
+    """The env step ``info`` entries for solver health (reference raises
+    LinsolveError instead; here failure is observable data)."""
+    return {
+        "pressure_converged": si.pressure_converged,
+        "pressure_iterations": si.pressure_iterations,
+        "pressure_residual": si.pressure_residual,
+        "advection_converged": si.advection_converged,
+    }
+
+
+def _info_merge(a: StepInfo, b: StepInfo) -> StepInfo:
+    return StepInfo(
+        pressure_converged=jnp.logical_and(
+            a.pressure_converged, b.pressure_converged),
+        pressure_iterations=a.pressure_iterations + b.pressure_iterations,
+        pressure_residual=jnp.maximum(a.pressure_residual, b.pressure_residual),
+        advection_converged=jnp.logical_and(
+            a.advection_converged, b.advection_converged),
+    )
 
 
 @dataclass(frozen=True)
@@ -163,10 +221,29 @@ def _run_hooks(hooks: Hooks | None, name: str, state: DomainState, **kw) -> Doma
     return state
 
 
+def _posthoc_info(mv, b, x, tol) -> linsolve.SolveInfo:
+    """Convergence metadata recomputed from the returned iterate (used on the
+    ``custom_linear_solve`` path, whose inner solve cannot surface aux data).
+    Costs one matvec -- removed by XLA dead-code elimination whenever the
+    caller discards the info.  ``iterations=-1`` marks "not tracked"."""
+    r = jax.tree.map(lambda bb, ax: bb - ax, b, mv(lax.stop_gradient(x)))
+    rs = sum(jnp.vdot(rr, rr).real for rr in jax.tree.leaves(r))
+    n = sum(leaf.size for leaf in jax.tree.leaves(b))
+    rmse = lax.stop_gradient(jnp.sqrt(rs / n))
+    return linsolve.SolveInfo(
+        converged=rmse <= tol,
+        iterations=jnp.asarray(-1, jnp.int32),
+        residual=rmse.astype(jax.tree.leaves(b)[0].dtype),
+    )
+
+
 def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
            return_best, differentiable=True, x0=None, precondition=False,
            x0_fn=None, stall_iters=250, coarse_fn=None):
-    """Differentiable global linear solve over all blocks.
+    """Differentiable global linear solve over all blocks; returns
+    ``(x, SolveInfo)`` -- the convergence metadata the reference surfaces as
+    ``LinearSolverResultInfo`` / raises as ``LinsolveError``
+    (PISOtorch.cpp:567, PISOtorch_diff.py:262-371).
 
     ``lax.custom_linear_solve`` supplies the implicit-function gradient: the
     backward pass is a transposed solve plus automatic differentiation of the
@@ -182,6 +259,10 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
 
     def mv(xs):
         return st.domain_apply(ops, xs, topo)
+
+    tol_resolved = (tol if tol is not None
+                    else linsolve.default_tolerance(
+                        jax.tree.leaves(b)[0].dtype))
 
     precond_fn = None
     if precondition:
@@ -206,7 +287,7 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
             guess = x0_fn(b) if x0_fn is not None else x0
             return linsolve.cg(mv, b, x0=guess, tol=tol, maxiter=maxiter,
                                return_best=return_best, precond=precond_fn,
-                               stall_iters=stall_iters)[0]
+                               stall_iters=stall_iters)
 
         def solve_fn(mv_fn, bb):
             guess = x0_fn(bb) if x0_fn is not None else None
@@ -214,12 +295,13 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                                return_best=return_best, precond=precond_fn,
                                stall_iters=stall_iters)[0]
 
-        return lax.custom_linear_solve(mv, b, solve_fn, symmetric=True)
+        x = lax.custom_linear_solve(mv, b, solve_fn, symmetric=True)
+        return x, _posthoc_info(mv, b, x, tol_resolved)
 
     if not differentiable:
         return linsolve.bicgstab(mv, b, x0=x0, tol=tol, maxiter=maxiter,
                                  return_best=return_best,
-                                 stall_iters=stall_iters)[0]
+                                 stall_iters=stall_iters)
 
     def solve_fn(mv_fn, bb):
         return linsolve.bicgstab(mv_fn, bb, tol=tol, maxiter=maxiter,
@@ -231,7 +313,8 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                                  return_best=return_best,
                                  stall_iters=stall_iters)[0]
 
-    return lax.custom_linear_solve(mv, b, solve_fn, tsolve_fn)
+    x = lax.custom_linear_solve(mv, b, solve_fn, tsolve_fn)
+    return x, _posthoc_info(mv, b, x, tol_resolved)
 
 
 def _deflation_basis(topo: DomainTopo, dtype):
@@ -358,9 +441,10 @@ def _advect_scalars(
 ) -> DomainState:
     """Implicit advection-diffusion solve of every passive-scalar channel
     with the velocity field frozen (the scalar stage of _PISO_split_step,
-    PISOtorch_simulation.py:1471-1644)."""
+    PISOtorch_simulation.py:1471-1644).  Returns ``(state, converged)``."""
     nblocks = len(topo.blocks)
     new_scalars = [[] for _ in range(nblocks)]
+    converged = jnp.asarray(True)
     for c in range(topo.scalar_channels):
         kappa = state.scalar_diffusivity[c]
         ops = st.build_advection_ops(
@@ -382,7 +466,7 @@ def _advect_scalars(
             rhs = tuple(
                 r - s * kappa / g.det for r, s, g in zip(rhs, S, geoms)
             )
-        res = _solve(
+        res, s_info = _solve(
             ops, rhs, topo,
             tol=cfg.advection_tol, maxiter=cfg.advection_maxiter,
             symmetric=False, use_bicg=cfg.advection_use_bicg,
@@ -390,13 +474,14 @@ def _advect_scalars(
             x0=tuple(blk.scalar[c] for blk in state.blocks)
             if cfg.warm_start else None,
         )
+        converged = jnp.logical_and(converged, s_info.converged)
         for b in range(nblocks):
             new_scalars[b].append(res[b])
     for b in range(nblocks):
         state = state.replace_block(
             b, replace(state.blocks[b], scalar=jnp.stack(new_scalars[b], axis=0))
         )
-    return state
+    return state, converged
 
 
 def piso_substep(
@@ -409,12 +494,31 @@ def piso_substep(
 ) -> DomainState:
     """One PISO substep advancing physical time ``dt``
     (reference ``_PISO_split_step`` body, PISOtorch_simulation.py:1453-2000)."""
+    return piso_substep_info(state, geoms, topo, cfg, dt, hooks)[0]
+
+
+def piso_substep_info(
+    state: DomainState,
+    geoms: tuple[BlockGeom, ...],
+    topo: DomainTopo,
+    cfg: SimConfig,
+    dt: Array,
+    hooks: Hooks | None = None,
+) -> tuple[DomainState, StepInfo]:
+    """``piso_substep`` returning ``(state, StepInfo)`` with the solver
+    convergence metadata aggregated over the substep's solves.  The metadata
+    computation is dead-code-eliminated by XLA when the caller discards it,
+    so the info-less wrapper above costs nothing."""
     nblocks = len(topo.blocks)
+    dtype = state.blocks[0].velocity.dtype
+    info = _info_identity(dtype)
     state = _run_hooks(hooks, "PRE", state, time_step=dt)
 
     # ---- scalar advection (PISOtorch_simulation.py:1471-1644) -------------
     if cfg.advect_passive_scalar and topo.has_scalar and state.blocks[0].scalar is not None:
-        state = _advect_scalars(state, geoms, topo, cfg, dt)
+        state, sc_conv = _advect_scalars(state, geoms, topo, cfg, dt)
+        info = info._replace(advection_converged=jnp.logical_and(
+            info.advection_converged, sc_conv))
 
     # ---- velocity prediction (PISOtorch_simulation.py:1646-1762) ----------
     state = _run_hooks(hooks, "PRE_VELOCITY_SETUP", state, time_step=dt)
@@ -447,7 +551,7 @@ def piso_substep(
             for b in range(nblocks)
         )
     state = _run_hooks(hooks, "POST_VELOCITY_SETUP", state, time_step=dt)
-    u_star = _solve(
+    u_star, v_info = _solve(
         adv_ops, vel_rhs, topo,
         tol=cfg.advection_tol, maxiter=cfg.advection_maxiter,
         symmetric=False, use_bicg=cfg.advection_use_bicg, return_best=False,
@@ -455,6 +559,8 @@ def piso_substep(
         x0=tuple(blk.velocity for blk in state.blocks)
         if cfg.warm_start else None,
     )
+    info = info._replace(advection_converged=jnp.logical_and(
+        info.advection_converged, v_info.converged))
 
     # ---- corrector loop (PISOtorch_simulation.py:1777-1972) ---------------
     adiags = tuple(op.diag for op in adv_ops)
@@ -500,7 +606,7 @@ def piso_substep(
             # which CG accumulates an unbounded nullspace component
             rhs_mean = _global_mean(rhs_p)
             rhs_p = tuple(r - rhs_mean for r in rhs_p)
-        pressures = _solve(
+        pressures, p_info = _solve(
             p_ops, rhs_p, topo,
             tol=cfg.pressure_tol, maxiter=cfg.pressure_maxiter,
             symmetric=not cfg.pressure_use_bicg,
@@ -513,6 +619,14 @@ def piso_substep(
             x0_fn=x0_fn,
             stall_iters=cfg.pressure_stall_iters,
             coarse_fn=coarse_fn,
+        )
+        info = info._replace(
+            pressure_converged=jnp.logical_and(
+                info.pressure_converged, p_info.converged),
+            pressure_iterations=info.pressure_iterations
+            + jnp.maximum(p_info.iterations, 0),
+            pressure_residual=jnp.maximum(
+                info.pressure_residual, p_info.residual.astype(dtype)),
         )
         if cfg.normalize_pressure_result:
             mean = _global_mean(pressures)
@@ -533,7 +647,7 @@ def piso_substep(
             b, replace(state.blocks[b], velocity=u_star[b], pressure=pressures[b])
         )
     state = _run_hooks(hooks, "POST", state, time_step=dt)
-    return state
+    return state, info
 
 
 def piso_adaptive_step(
@@ -544,6 +658,18 @@ def piso_adaptive_step(
     time_target: Array,
     hooks: Hooks | None = None,
 ) -> DomainState:
+    """See ``piso_adaptive_step_info`` (info discarded -> DCE'd)."""
+    return piso_adaptive_step_info(state, geoms, topo, cfg, time_target, hooks)[0]
+
+
+def piso_adaptive_step_info(
+    state: DomainState,
+    geoms: tuple[BlockGeom, ...],
+    topo: DomainTopo,
+    cfg: SimConfig,
+    time_target: Array,
+    hooks: Hooks | None = None,
+) -> tuple[DomainState, StepInfo]:
     """Advance ``time_target`` with CFL-limited substeps, fully on-device
     (reference ``_PISO_adaptive_step``, PISOtorch_simulation.py:2004-2064).
 
@@ -555,7 +681,8 @@ def piso_adaptive_step(
     the state through unchanged via ``lax.cond`` (the reference's eager-torch
     adaptive loop needs no such bound; this is the jit-compatible
     equivalent)."""
-    time_target = jnp.asarray(time_target, state.blocks[0].velocity.dtype)
+    dtype = state.blocks[0].velocity.dtype
+    time_target = jnp.asarray(time_target, dtype)
     eps = 1e-6 * time_target
 
     def cfl_ts(s, remaining):
@@ -571,7 +698,7 @@ def piso_adaptive_step(
         n_scan = cfg.diff_adaptive_max_substeps
 
         def body(carry, i):
-            s, remaining = carry
+            s, remaining, info = carry
             done = remaining <= eps
             # guarantee the scan CONSUMES time_target even when the CFL asks
             # for more substeps than remain: stretch to remaining/(n_scan-i)
@@ -585,32 +712,36 @@ def piso_adaptive_step(
             # 0*NaN would poison reverse-mode cotangents of the whole batch
             ts_safe = jnp.where(
                 done, jnp.asarray(cfg.dt / n_scan, ts.dtype), ts)
-            s = lax.cond(
+            s, si = lax.cond(
                 done,
-                lambda s_, ts_: s_,
-                lambda s_, ts_: piso_substep(s_, geoms, topo, cfg, ts_, hooks),
+                lambda s_, ts_: (s_, _info_identity(dtype)),
+                lambda s_, ts_: piso_substep_info(
+                    s_, geoms, topo, cfg, ts_, hooks),
                 s, ts_safe,
             )
+            info = _info_merge(info, si)
             remaining = jnp.where(done, remaining, jnp.maximum(remaining - ts, 0.0))
-            return (s, remaining), None
+            return (s, remaining, info), None
 
-        (state, _), _ = lax.scan(
-            body, (state, time_target), jnp.arange(n_scan))
-        return state
+        (state, _, info), _ = lax.scan(
+            body, (state, time_target, _info_identity(dtype)),
+            jnp.arange(n_scan))
+        return state, info
 
     def cond(carry):
-        _, remaining, it = carry
+        _, remaining, it, _info = carry
         return jnp.logical_and(remaining > eps, it < cfg.max_substeps)
 
     def body(carry):
-        s, remaining, it = carry
+        s, remaining, it, info = carry
         ts = cfl_ts(s, remaining)
-        s = piso_substep(s, geoms, topo, cfg, ts, hooks)
-        return s, remaining - ts, it + 1
+        s, si = piso_substep_info(s, geoms, topo, cfg, ts, hooks)
+        return s, remaining - ts, it + 1, _info_merge(info, si)
 
-    state, _, _ = lax.while_loop(
-        cond, body, (state, time_target, jnp.asarray(0, jnp.int32)))
-    return state
+    state, _, _, info = lax.while_loop(
+        cond, body,
+        (state, time_target, jnp.asarray(0, jnp.int32), _info_identity(dtype)))
+    return state, info
 
 
 def piso_fixed_steps(
@@ -627,14 +758,33 @@ def piso_fixed_steps(
     reverse-differentiable; ``use_remat`` wraps each substep in
     ``jax.checkpoint`` (replaces the reference's manual detach/truncated-BPTT
     memory management for long rollouts)."""
+    return piso_fixed_steps_info(
+        state, geoms, topo, cfg, dt, n_steps, hooks, use_remat)[0]
 
-    def step(s, _):
-        return piso_substep(s, geoms, topo, cfg, dt, hooks), None
+
+def piso_fixed_steps_info(
+    state: DomainState,
+    geoms: tuple[BlockGeom, ...],
+    topo: DomainTopo,
+    cfg: SimConfig,
+    dt: Array,
+    n_steps: int,
+    hooks: Hooks | None = None,
+    use_remat: bool = False,
+) -> tuple[DomainState, StepInfo]:
+    """``piso_fixed_steps`` returning the aggregated ``StepInfo``."""
+
+    def step(carry, _):
+        s, info = carry
+        s, si = piso_substep_info(s, geoms, topo, cfg, dt, hooks)
+        return (s, _info_merge(info, si)), None
 
     if use_remat:
         step = jax.checkpoint(step)
-    state, _ = lax.scan(step, state, None, length=n_steps)
-    return state
+    (state, info), _ = lax.scan(
+        step, (state, _info_identity(state.blocks[0].velocity.dtype)),
+        None, length=n_steps)
+    return state, info
 
 
 def single_step(
@@ -646,10 +796,24 @@ def single_step(
 ) -> DomainState:
     """One env-level simulation step of physical length ``cfg.dt``
     (reference Simulation.single_step, simulation.py:210-280)."""
+    return single_step_info(state, geoms, topo, cfg, hooks)[0]
+
+
+def single_step_info(
+    state: DomainState,
+    geoms: tuple[BlockGeom, ...],
+    topo: DomainTopo,
+    cfg: SimConfig,
+    hooks: Hooks | None = None,
+) -> tuple[DomainState, StepInfo]:
+    """``single_step`` returning the aggregated solver ``StepInfo`` -- the
+    TPU-native form of the reference's LinsolveError/False-return failure
+    signal (simulation.py:266-280): jitted programs cannot raise, so envs
+    surface these fields through the step ``info`` dict instead."""
     dt = jnp.asarray(cfg.dt, state.blocks[0].velocity.dtype)
     if cfg.substeps == ADAPTIVE:
-        return piso_adaptive_step(state, geoms, topo, cfg, dt, hooks)
-    return piso_fixed_steps(
+        return piso_adaptive_step_info(state, geoms, topo, cfg, dt, hooks)
+    return piso_fixed_steps_info(
         state, geoms, topo, cfg, dt / cfg.substeps, cfg.substeps, hooks
     )
 
@@ -701,7 +865,7 @@ def make_divergence_free(
             if cfg.normalize_pressure_result:
                 rhs_mean = _global_mean(rhs_p)  # solvability projection
                 rhs_p = tuple(r - rhs_mean for r in rhs_p)
-            pressures = _solve(
+            pressures, _proj_info = _solve(
                 p_ops, rhs_p, topo,
                 tol=cfg.pressure_tol, maxiter=maxiter,
                 symmetric=True, use_bicg=False,
@@ -742,7 +906,7 @@ def advect_static(
     dt = jnp.asarray(dt, state.blocks[0].velocity.dtype)
     for _ in range(iterations):
         state = _run_hooks(hooks, "PRE", state, time_step=dt)
-        state = _advect_scalars(state, geoms, topo, cfg, dt)
+        state, _converged = _advect_scalars(state, geoms, topo, cfg, dt)
     return state
 
 
