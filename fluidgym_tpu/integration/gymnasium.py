@@ -57,7 +57,9 @@ class GymFluidEnv(Env):
         info_np = {k: np.asarray(jax.device_get(v)) for k, v in info.items()}
         return (
             self.__to_np(obs),
-            float(np.asarray(jax.device_get(reward))),
+            # rewards can be shape-(1,) arrays; float() on ndim>0 arrays is a
+            # hard error on NumPy >= 2.3
+            float(np.asarray(jax.device_get(reward)).reshape(-1)[0]),
             bool(terminated),
             bool(truncated),
             info_np,

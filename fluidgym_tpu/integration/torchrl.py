@@ -47,6 +47,17 @@ class TorchRLFluidEnv(_EnvBase):
     def __to_torch(x, device):
         return torch.as_tensor(np.asarray(jax.device_get(x)), device=device)
 
+    def _probe_frame_shape(self) -> tuple[int, ...]:
+        """Shape of the frames ``render()`` actually produces (resetting the
+        env first if needed -- rendering requires a live state)."""
+        env = self.__env
+        try:
+            frame = env.render()
+        except Exception:
+            env.reset(seed=0)
+            frame = env.render()
+        return tuple(np.asarray(frame).shape)
+
     def _make_specs(self) -> None:
         from gymnasium import spaces
 
@@ -60,8 +71,12 @@ class TorchRLFluidEnv(_EnvBase):
             specs["observation"] = Unbounded(shape=obs_space.shape,
                                              device=self.device)
         if self.__from_pixels:
-            h, w = 64, 64
-            specs["pixels"] = Unbounded(shape=(h, w, 3), device=self.device)
+            # build the pixel spec from a REAL rendered frame (the reference
+            # constructs specs from the env, torchrl.py:128-202): render
+            # shapes vary per env family/resolution and a hardcoded spec
+            # would not match the frames _obs_to_td returns
+            specs["pixels"] = Unbounded(shape=tuple(self._probe_frame_shape()),
+                                        device=self.device)
         self.observation_spec = Composite(**specs)
         a = env.action_space
         self.action_spec = Bounded(low=float(a.low.min()),

@@ -95,3 +95,38 @@ def test_divergence_free_after_init(jet_env):
     divs = st.velocity_divergence(env._state, env._geoms, env._topo)
     for d in divs:
         assert np.isfinite(np.asarray(d)).all()
+
+
+def test_local_2d_obs_matches_2d_env_shapes():
+    """local_2d_obs 3D MARL agents see observations shaped exactly like the
+    2D env's observations (reference tests/envs/test_all_envs.py:102-126):
+    enables direct 2D-policy transfer to the 3D env."""
+    import fluidgym_tpu
+
+    env2d = fluidgym_tpu.make(
+        "CylinderJet2D-easy-v0", resolution=8,
+        load_initial_domain=False, load_domain_statistics=False,
+        randomize_initial_state=False, episode_length=4,
+        step_length=0.05, dt=0.01)
+    env3d = fluidgym_tpu.make(
+        "CylinderJet3D-easy-v0", resolution=8, n_jets=2, use_marl=True,
+        local_2d_obs=True, load_initial_domain=False,
+        load_domain_statistics=False, randomize_initial_state=False,
+        episode_length=4, step_length=0.05, dt=0.01)
+
+    # spaces: per-agent 3D space == the 2D env space, key for key
+    for key, space2d in env2d.observation_space.spaces.items():
+        assert env3d.observation_space[key].shape == space2d.shape, key
+
+    obs2d, _ = env2d.reset(seed=0)
+    obs3d, _ = env3d.reset(seed=0)
+    for key in obs2d:
+        per_agent = obs3d[key]
+        assert per_agent.shape == (env3d.n_agents, *obs2d[key].shape), key
+
+    a3 = np.zeros((env3d.n_agents, 1), np.float32)
+    obs3d, rew, term, trunc, info = env3d.step(a3)
+    assert rew.shape == (env3d.n_agents,)
+    for key in obs2d:
+        assert obs3d[key].shape == (env3d.n_agents, *obs2d[key].shape), key
+        assert np.isfinite(np.asarray(obs3d[key])).all()

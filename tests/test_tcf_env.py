@@ -96,3 +96,31 @@ def test_both_env_local_obs_honors_requested_slice():
                                       y_idx=env._y_obs_bottom_idx)
     for k in both:
         assert both[k].shape[0] == 2 * bottom_only[k].shape[0]
+
+
+def test_opposition_control_episode_archival(tmp_path, monkeypatch):
+    """Opposition-control episode CSVs round-trip next to the initial-domain
+    dataset (reference tcf_env.py:1017-1062), keyed by actuation kind."""
+    import pandas as pd
+
+    import fluidgym_tpu
+    from fluidgym_tpu.types import EnvMode
+
+    env = fluidgym_tpu.make(
+        "TCFSmall3D-bottom-easy-v0", load_initial_domain=False,
+        load_domain_statistics=False, use_marl=False)
+    rows = [{"t": 0, "wall_stress": 1.0}, {"t": 1, "wall_stress": 0.9}]
+    env.save_opposition_control_episode(0, EnvMode.TRAIN, rows)
+    df = env.load_opposition_control_episode(0, EnvMode.TRAIN)
+    assert list(df.columns) == ["t", "wall_stress"]
+    assert len(df) == 2
+    path = env._opposition_episode_path(EnvMode.TRAIN, 0)
+    assert path.name == "train_00_opposition_control_bottom_episode.csv"
+
+    env.save_opposition_control_episode(1, EnvMode.VAL, pd.DataFrame(rows))
+    assert env.load_opposition_control_episode(1, EnvMode.VAL).shape == (2, 2)
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        env.load_opposition_control_episode(7, EnvMode.TEST)
