@@ -1,0 +1,247 @@
+"""Generate initial-domain datasets (snapshots + uncontrolled episodes +
+statistics) for an env config, batching the burn-ins over a vmapped lane axis.
+
+Produces exactly the files ``FluidEnv.init()`` produces (reference
+fluid_env.py:1114-1190, util/data_utils.py:23-136) -- ``{mode}_{idx:02d}``
+domain snapshots, ``{mode}_{idx:02d}_uncontrolled_episode.csv`` baselines, and
+``domain_statistics.json`` -- but runs the independent per-snapshot burn-ins
+in lockstep as one jitted vmapped program (the per-lane convergence masking in
+solver/linsolve.py keeps each lane's physics identical to a single-env run).
+
+Usage:
+    python scripts/generate_datasets.py CylinderJet2D-easy-v0 \
+        [--n-domains 10] [--lanes 10] [--episode-steps N] [--burnin-scale 1.0]
+        [--bundle] [--env-kw key=value ...]
+
+``--bundle`` copies the finished dataset into ``fluidgym_tpu/data/`` so it
+ships with the package (the air-gapped stand-in for the reference's
+HuggingFace distribution).
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def build_jobs(env, n_domains: int, burnin_scale: float):
+    """(mode, idx, seed, burn_steps, extra_steps) burn-in jobs mirroring
+    FluidEnv.init() stage 1, including the +-15% jitter drawn from the env's
+    seeded rng right after reset (fluid_env.py:1156-1166)."""
+    from fluidgym_tpu.envs.fluid_env import MODE_SEEDS
+    from fluidgym_tpu.types import EnvMode
+
+    jobs = []
+    base = env._initial_domain_steps
+    gen_modes = (list(MODE_SEEDS) if env._initial_domain_restart
+                 else [EnvMode.TRAIN])
+    for idx in range(n_domains):
+        for mode in gen_modes:
+            seed = MODE_SEEDS[mode] + idx
+            jobs.append((mode, idx, seed))
+    out = []
+    for mode, idx, seed in jobs:
+        env.seed(seed)
+        steps = int(round(base * burnin_scale))
+        jitter = int(round(steps * 0.15))
+        if jitter:
+            steps = int(steps + env._np_rng.integers(-jitter, jitter + 1))
+        extra = 0 if env._initial_domain_restart else max(1, int(steps * 0.1))
+        out.append((mode, idx, seed, steps, extra))
+    return out
+
+
+def run_stage1(env, jobs, lanes: int) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fluidgym_tpu.types import EnvMode
+
+    todo = [j for j in jobs
+            if not env._check_initial_domains_exist(
+                mode=j[0] if env._initial_domain_restart else None,
+                idx=j[1], user_only=True)]
+    if not todo:
+        log("stage 1: all snapshots exist; skipping")
+        return
+    log(f"stage 1: {len(todo)} burn-in jobs in chunks of {lanes}")
+
+    step_fn = None
+    for c0 in range(0, len(todo), lanes):
+        chunk = todo[c0:c0 + lanes]
+        carries, events = [], []
+        for mode, idx, seed, steps, extra in chunk:
+            env.mode = mode
+            env.reset(seed=seed, randomize=False)
+            carries.append(env._pure_carry())
+            if env._initial_domain_restart:
+                events.append([(steps, mode, idx)])
+            else:
+                events.append([(steps, EnvMode.TRAIN, idx),
+                               (steps + extra, EnvMode.VAL, idx),
+                               (steps + 2 * extra, EnvMode.TEST, idx)])
+        bcarry = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *carries)
+        bact = jnp.broadcast_to(env._zero_action,
+                                (len(chunk),) + env._zero_action.shape)
+        if step_fn is None:
+            step_fn = jax.jit(jax.vmap(env._pure_step))
+        horizon = max(ev[-1][0] for ev in events)
+        log(f"  chunk {c0 // lanes}: {len(chunk)} lanes, horizon {horizon}")
+        t_wall = time.perf_counter()
+        for t in range(1, horizon + 1):
+            bcarry, *_ = step_fn(bcarry, bact)
+            for lane, ev in enumerate(events):
+                while ev and ev[0][0] == t:
+                    _, mode, idx = ev.pop(0)
+                    lane_carry = jax.tree.map(lambda a: a[lane], bcarry)
+                    env._set_pure_carry(jax.device_get(lane_carry))
+                    env._save_initial_domain(mode, idx)
+                    log(f"    saved {mode.value}_{idx:02d} at t={t}")
+            if t % 200 == 0:
+                jax.block_until_ready(jax.tree.leaves(bcarry)[0])
+                rate = t / (time.perf_counter() - t_wall)
+                log(f"    t={t}/{horizon} ({rate:.2f} lockstep steps/s)")
+
+
+def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from collections import defaultdict
+
+    from fluidgym_tpu.envs.fluid_env import MODE_SEEDS
+    from fluidgym_tpu.utils import data_utils
+
+    jobs = [(mode, idx) for mode in MODE_SEEDS for idx in range(n_domains)]
+    metric_values: dict[str, list] = defaultdict(list)
+    todo = []
+    for mode, idx in jobs:
+        try:
+            rows = [{k: float(v) for k, v in r.items()}
+                    for r in data_utils.load_uncontrolled_episode(
+                        env.initial_domain_id, mode.value, idx)]
+            if len(rows) >= episode_steps:
+                for row in rows:
+                    for k, v in row.items():
+                        metric_values[k].append(v)
+                continue
+        except FileNotFoundError:
+            pass
+        todo.append((mode, idx))
+    log(f"stage 2: {len(todo)} episodes of {episode_steps} steps "
+        f"({len(jobs) - len(todo)} reused)")
+
+    step_fn = None
+    for c0 in range(0, len(todo), lanes):
+        chunk = todo[c0:c0 + lanes]
+        carries = []
+        for mode, idx in chunk:
+            env.mode = mode
+            env.load_initial_domain(mode, idx, user_only=True)
+            env.seed(MODE_SEEDS[mode] + idx)
+            carries.append(env._pure_carry())
+        bcarry = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *carries)
+        bact = jnp.broadcast_to(env._zero_action,
+                                (len(chunk),) + env._zero_action.shape)
+        if step_fn is None:
+            step_fn = jax.jit(jax.vmap(env._pure_step))
+        rows_per_lane: list[list[dict]] = [[] for _ in chunk]
+        t_wall = time.perf_counter()
+        for t in range(episode_steps):
+            bcarry, _, _, info = step_fn(bcarry, bact)
+            host_info = jax.device_get(
+                {k: v for k, v in info.items()
+                 if hasattr(v, "size") and v.size == len(chunk)})
+            for lane in range(len(chunk)):
+                rows_per_lane[lane].append(
+                    {k: float(np.asarray(v).reshape(-1)[lane])
+                     for k, v in host_info.items()})
+            if (t + 1) % 100 == 0:
+                rate = (t + 1) / (time.perf_counter() - t_wall)
+                log(f"  chunk {c0 // lanes}: t={t + 1}/{episode_steps} "
+                    f"({rate:.2f} steps/s)")
+        for lane, (mode, idx) in enumerate(chunk):
+            data_utils.save_uncontrolled_episode(
+                env.initial_domain_id, mode.value, idx, rows_per_lane[lane])
+            for row in rows_per_lane[lane]:
+                for k, v in row.items():
+                    metric_values[k].append(v)
+            log(f"  saved episode {mode.value}_{idx:02d}")
+
+    if metric_values:
+        env._save_domain_statistics(
+            {k: np.asarray(v) for k, v in metric_values.items()})
+        log("saved domain_statistics.json")
+
+
+def bundle(env) -> None:
+    from fluidgym_tpu.utils import data_utils
+
+    src = data_utils.initial_domain_dir(env.initial_domain_id, user_only=True)
+    dst = data_utils.BUNDLED_DATA / "initial_domains" / env.initial_domain_id
+    dst.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for f in sorted(src.iterdir()):
+        if f.is_file():
+            shutil.copy2(f, dst / f.name)
+            n += 1
+    log(f"bundled {n} files -> {dst}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("env_id")
+    ap.add_argument("--n-domains", type=int, default=10)
+    ap.add_argument("--lanes", type=int, default=10)
+    ap.add_argument("--episode-steps", type=int, default=None)
+    ap.add_argument("--burnin-scale", type=float, default=1.0)
+    ap.add_argument("--bundle", action="store_true")
+    ap.add_argument("--env-kw", nargs="*", default=[],
+                    help="extra env kwargs as key=value (values eval'd)")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fluidgym_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import fluidgym_tpu
+
+    kw = dict(load_initial_domain=False, load_domain_statistics=False,
+              use_marl=False)
+    for item in args.env_kw:
+        k, _, v = item.partition("=")
+        try:
+            kw[k] = eval(v)  # noqa: S307 -- operator-supplied CLI values
+        except Exception:
+            kw[k] = v
+    env = fluidgym_tpu.make(args.env_id, **kw)
+    env._load_domain_on_reset = False
+    env._enable_actions = False
+    episode_steps = int(args.episode_steps or env.episode_length)
+
+    log(f"{args.env_id} -> {env.initial_domain_id} (n={args.n_domains}, "
+        f"lanes={args.lanes}, episode_steps={episode_steps}, "
+        f"burnin_scale={args.burnin_scale})")
+    jobs = build_jobs(env, args.n_domains, args.burnin_scale)
+    run_stage1(env, jobs, args.lanes)
+    run_stage2(env, args.n_domains, episode_steps, args.lanes)
+    if args.bundle:
+        bundle(env)
+    log("done")
+
+
+if __name__ == "__main__":
+    main()
