@@ -49,7 +49,13 @@ def pallas_stencil_enabled() -> bool:
 @functools.cache
 def pallas_stencil_available() -> bool:
     """True if a trivial Pallas kernel compiles on the current backend
-    (retried once: remote TPU compiles can fail transiently)."""
+    (retried once: remote TPU compiles can fail transiently).
+
+    The probe runs inside ``ensure_compile_time_eval``: the first call often
+    happens while TRACING a jitted step, where an un-forced ``pallas_call``
+    would silently become (dead) equations in the enclosing trace and crash
+    CPU lowering later; forcing eager evaluation makes the probe raise (and
+    be caught) here instead."""
     for _ in range(2):
         try:
             from jax.experimental import pallas as pl
@@ -57,11 +63,12 @@ def pallas_stencil_available() -> bool:
             def k(x_ref, o_ref):
                 o_ref[...] = x_ref[...] * 2.0
 
-            x = jnp.ones((8, 128), jnp.float32)
-            out = pl.pallas_call(
-                k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)
-            if bool(jnp.allclose(out, 2.0)):
-                return True
+            with jax.ensure_compile_time_eval():
+                x = jnp.ones((8, 128), jnp.float32)
+                out = pl.pallas_call(
+                    k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)
+                if bool(jnp.allclose(out, 2.0)):
+                    return True
         except Exception:
             continue
     return False

@@ -221,6 +221,25 @@ def _run_hooks(hooks: Hooks | None, name: str, state: DomainState, **kw) -> Doma
     return state
 
 
+def _fused_cg_usable(ops, topo: DomainTopo, coarse_fn) -> bool:
+    """Dispatch gate for the fused whole-solve CG kernel (ops/cg_pallas.py):
+    single block, no CONNECTED faces (rolls handle PERIODIC; FIXED faces are
+    masked by off=0), scalar RHS, no additive coarse preconditioner, working
+    set within VMEM, and a backend that compiles Pallas."""
+    from fluidgym_tpu.core.domain import BoundKind
+    from fluidgym_tpu.ops import cg_pallas
+
+    if coarse_fn is not None or len(topo.blocks) != 1:
+        return False
+    if any(f.kind == BoundKind.CONNECTED for f in topo.blocks[0].faces):
+        return False
+    if ops[0].diag.ndim != topo.ndims:  # channel axes take the XLA path
+        return False
+    return (cg_pallas.fused_cg_enabled()
+            and cg_pallas.fused_cg_eligible(
+                topo.blocks[0].shape, topo.ndims, ops[0].diag.dtype))
+
+
 def _posthoc_info(mv, b, x, tol) -> linsolve.SolveInfo:
     """Convergence metadata recomputed from the returned iterate (used on the
     ``custom_linear_solve`` path, whose inner solve cannot surface aux data).
@@ -283,17 +302,47 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
             return tuple(r + c for r, c in zip(rs, cg))
 
     if symmetric and not use_bicg:
+        fused = _fused_cg_usable(ops, topo, coarse_fn)
+
         if not differentiable:
             guess = x0_fn(b) if x0_fn is not None else x0
+            if fused:
+                from fluidgym_tpu.ops import cg_pallas
+
+                x1, inf = cg_pallas.fused_cg(
+                    ops[0].diag, ops[0].off, b[0],
+                    x0=None if guess is None else guess[0],
+                    ndims=topo.ndims, tol=tol_resolved, maxiter=maxiter,
+                    stall_iters=stall_iters, precondition=precondition,
+                    return_best=return_best)
+                return (x1,), inf
             return linsolve.cg(mv, b, x0=guess, tol=tol, maxiter=maxiter,
                                return_best=return_best, precond=precond_fn,
                                stall_iters=stall_iters)
 
-        def solve_fn(mv_fn, bb):
-            guess = x0_fn(bb) if x0_fn is not None else None
-            return linsolve.cg(mv_fn, bb, x0=guess, tol=tol, maxiter=maxiter,
-                               return_best=return_best, precond=precond_fn,
-                               stall_iters=stall_iters)[0]
+        if fused:
+            from fluidgym_tpu.ops import cg_pallas
+
+            # the kernel is a black-box inner solver: custom_linear_solve
+            # still supplies the implicit-function VJP (transposed solve =
+            # the same symmetric solve) -- gradients never differentiate
+            # through the Krylov loop itself
+            def solve_fn(mv_fn, bb):
+                guess = x0_fn(bb) if x0_fn is not None else None
+                x1, _ = cg_pallas.fused_cg(
+                    ops[0].diag, ops[0].off, bb[0],
+                    x0=None if guess is None else guess[0],
+                    ndims=topo.ndims, tol=tol_resolved, maxiter=maxiter,
+                    stall_iters=stall_iters, precondition=precondition,
+                    return_best=return_best)
+                return (x1,)
+        else:
+            def solve_fn(mv_fn, bb):
+                guess = x0_fn(bb) if x0_fn is not None else None
+                return linsolve.cg(mv_fn, bb, x0=guess, tol=tol,
+                                   maxiter=maxiter, return_best=return_best,
+                                   precond=precond_fn,
+                                   stall_iters=stall_iters)[0]
 
         x = lax.custom_linear_solve(mv, b, solve_fn, symmetric=True)
         return x, _posthoc_info(mv, b, x, tol_resolved)
