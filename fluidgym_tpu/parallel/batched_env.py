@@ -41,6 +41,12 @@ class BatchedFluidEnv:
     n_envs : number of batched environments.
     mesh : optional ``jax.sharding.Mesh`` with a ``dp`` axis; the batch axis
         of the stacked state is sharded over it.
+    auto_reset : reset finished envs in place (gymnasium vector / reference
+        VecEnv semantics): when an env terminates (diverged solve) or
+        truncates (episode length), a fresh initial state is spliced into its
+        batch slot, its step returns the first observation of the new episode,
+        and the final observation is reported in
+        ``info["final_observation"]``.
     env_kwargs : forwarded to ``make``.
     """
 
@@ -49,11 +55,13 @@ class BatchedFluidEnv:
         env_id: str,
         n_envs: int,
         mesh: "jax.sharding.Mesh | None" = None,
+        auto_reset: bool = True,
         **env_kwargs: Any,
     ):
         self.env_id = env_id
         self.n_envs = int(n_envs)
         self.mesh = mesh
+        self.auto_reset = bool(auto_reset)
         # prototype env supplies spaces, config, geometry, and the pure step
         self.env = make(env_id, **env_kwargs)
         self._bstate = None
@@ -136,7 +144,7 @@ class BatchedFluidEnv:
         self._bstate = self._shard(
             jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *states)
         )
-        self._n_steps = 0
+        self._step_counts = np.zeros(self.n_envs, np.int64)
         return self._aggregate_obs(obs_list), {}
 
     def _aggregate_obs(self, obs_list):
@@ -170,10 +178,61 @@ class BatchedFluidEnv:
             if rewards.ndim == 2 and rewards.shape[1] == 1:
                 rewards = rewards[:, 0]
 
-        self._n_steps += 1
-        truncated = self._n_steps >= self.env.episode_length
-        terminated = False
+        self._step_counts += 1
+        truncated = self._step_counts >= self.env.episode_length
+        terminated = self._per_env_terminated(info)
+        done = terminated | truncated
+        if self.auto_reset and bool(done.any()):
+            obs, info = self._auto_reset_done(obs, info, done)
         return obs, rewards, terminated, truncated, info
+
+    def _per_env_terminated(self, info) -> np.ndarray:
+        """Diverged envs terminate (the host single-env path raises instead,
+        fluid_env._check_solver_health; a batch must not kill its healthy
+        lanes, so divergence is surfaced per slot here)."""
+        res = info.get("pressure_residual")
+        if res is None:
+            return np.zeros(self.n_envs, bool)
+        res = np.asarray(jax.device_get(res)).reshape(self.n_envs, -1)
+        return ~np.isfinite(res).all(axis=1)
+
+    def _auto_reset_done(self, obs, info, done: np.ndarray):
+        """Splice fresh initial states into finished slots; return the new
+        episodes' first observations in their rows and the finished episodes'
+        last observations under ``info["final_observation"]`` (gymnasium
+        vector convention)."""
+        idx = np.nonzero(done)[0]
+        info = dict(info)
+        info["final_observation"] = jax.tree.map(
+            lambda x: x[self._obs_rows(idx)], obs)
+
+        carries, obs_rows = [], []
+        for _ in idx:
+            o, _ = self.env.reset()
+            carries.append(self.env._pure_carry())
+            obs_rows.append(o)
+        new_states = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *carries)
+        self._bstate = jax.tree.map(
+            lambda b, n2: b.at[jnp.asarray(idx)].set(n2),
+            self._bstate, new_states)
+        rows = self._obs_rows(idx)
+        if self.use_marl:
+            new_obs = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *obs_rows)
+        else:
+            new_obs = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *obs_rows)
+        obs = jax.tree.map(
+            lambda full, n2: full.at[jnp.asarray(rows)].set(n2), obs, new_obs)
+        self._step_counts[idx] = 0
+        return obs, info
+
+    def _obs_rows(self, env_idx: np.ndarray) -> np.ndarray:
+        """Observation rows for envs: 1:1 (SARL) or n_agents-per-env (MARL,
+        where obs are concatenated along the agent axis)."""
+        if not self.use_marl:
+            return env_idx
+        na = self.n_agents
+        return (env_idx[:, None] * na + np.arange(na)[None, :]).reshape(-1)
 
     def load_initial_domain(self, mode: EnvMode, idx: int) -> None:
         """Load one initial domain into every batch slot
@@ -185,4 +244,4 @@ class BatchedFluidEnv:
                 lambda a: jnp.broadcast_to(a, (self.n_envs,) + a.shape), carry
             )
         )
-        self._n_steps = 0
+        self._step_counts = np.zeros(self.n_envs, np.int64)

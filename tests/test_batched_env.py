@@ -1,6 +1,7 @@
 """Batched env + mesh sharding tests (TPU-native ParallelFluidEnv)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -101,3 +102,36 @@ def test_seed_method_affects_unseeded_reset():
     diff = max(float(np.abs(np.asarray(o1[k]) - np.asarray(o2[k])).max())
                for k in o1)
     assert diff > 0.0, "different seed() must change unseeded reset"
+
+
+def test_batched_auto_reset():
+    """Finished slots are reset in place; unfinished slots keep stepping
+    (gymnasium vector / reference VecEnv auto-reset semantics)."""
+    kw = dict(DEV_KW, episode_length=2)
+    benv = BatchedFluidEnv("RBC2D-easy-v0", n_envs=3, **kw)
+    obs0, _ = benv.reset(seed=0)
+    nact = benv.action_space.shape[0]
+    actions = jnp.zeros((3, nact), jnp.float32)
+
+    obs, rew, term, trunc, info = benv.step(actions)
+    assert not trunc.any() and not term.any()
+    assert "final_observation" not in info
+
+    obs, rew, term, trunc, info = benv.step(actions)
+    assert trunc.all()
+    assert "final_observation" in info
+    fin = info["final_observation"]
+    assert np.asarray(fin).shape == np.asarray(obs).shape
+    # counts were reset: the next step must not truncate
+    obs, rew, term, trunc, info = benv.step(actions)
+    assert not trunc.any()
+
+
+def test_batched_auto_reset_off():
+    kw = dict(DEV_KW, episode_length=1)
+    benv = BatchedFluidEnv("RBC2D-easy-v0", n_envs=2, auto_reset=False, **kw)
+    benv.reset(seed=0)
+    nact = benv.action_space.shape[0]
+    obs, rew, term, trunc, info = benv.step(jnp.zeros((2, nact), jnp.float32))
+    assert trunc.all()
+    assert "final_observation" not in info
