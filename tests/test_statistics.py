@@ -81,3 +81,51 @@ def test_two_point_correlation_bounds():
     other = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
     _, c_other = two_point_corr_from_data(state, other, dims=(0, 1))
     assert abs(float(c_other)) < 0.5
+
+
+def test_velocity_stats_higher_moments_and_pressure(tmp_path):
+    """Skewness/flatness of known distributions and p' recovery
+    (PISOTCFProfile parity: Su'+/Fu'+/Sp'+/Fp'+/p' keys)."""
+    ny = 16
+    y = _channel_y(ny)
+    vs = VelocityStats(y, viscosity=1e-3)
+    rng = np.random.default_rng(1)
+    for _ in range(200):
+        u = np.zeros((3, 8, ny, 16), np.float32)
+        u[0] = 1.0 + rng.normal(0, 0.1, (8, ny, 16))     # gaussian: S=0, F=3
+        u[1] = rng.normal(0, 0.05, (8, ny, 16))
+        u[2] = rng.exponential(0.05, (8, ny, 16))        # exp: S=2, F=9
+        pfield = rng.normal(0, 0.03, (8, ny, 16)).astype(np.float32)
+        vs.record(jnp.asarray(u), jnp.asarray(pfield))
+    prof = vs.profiles()
+    assert np.all(np.abs(prof["Su'+"]) < 0.3)
+    assert np.allclose(prof["Fu'+"], 3.0, atol=0.5)
+    assert np.allclose(prof["Sw'+"], 2.0, atol=0.5)
+    assert np.allclose(prof["Fw'+"], 9.0, atol=2.5)
+    assert abs(prof["p'"].mean() * vs.u_wall**2 - 0.03) < 0.01
+    # half-channel accessor + save/load keep the higher moments
+    vs.save(tmp_path / "vs.npz")
+    from fluidgym_tpu.envs.tcf.statistics import SavedRunProfile
+
+    run = SavedRunProfile.load(tmp_path / "vs.npz")
+    half = run.profiles["Fu'+"]
+    assert len(half) == (ny + 1) // 2
+    assert np.allclose(half, prof["Fu'+"][: (ny + 1) // 2])
+    assert len(run.profiles["y+"]) == (ny + 1) // 2
+
+
+def test_velocity_stats_loads_pre_pressure_format(tmp_path):
+    """Old three-channel save files still load (zero-padded channels)."""
+    ny = 8
+    y = _channel_y(ny)
+    vs = VelocityStats(y, viscosity=1e-3)
+    st = vs.state
+    np.savez(tmp_path / "old.npz", pos_y=y, viscosity=1e-3,
+             count=np.asarray(2.0), mean=np.ones((3, ny), np.float32),
+             msq=np.ones((3, ny), np.float32) * 2.0,
+             uv=np.zeros((ny,), np.float32),
+             dudy_wall=np.ones((2,), np.float32))
+    vs2 = VelocityStats.load(tmp_path / "old.npz")
+    prof = vs2.profiles()
+    assert np.allclose(prof["U+"] * vs2.u_wall, 1.0)
+    assert np.all(np.isfinite(prof["Fu'+"]))
