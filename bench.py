@@ -1,41 +1,42 @@
-"""Benchmark: batched 2D cylinder env steps/sec on TPU.
+"""Benchmark: batched 2D cylinder env steps/sec on TPU at the 256^2-class grid.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Flagship measurement (BASELINE.md north star): full-fidelity
-CylinderJet2D-easy environment physics -- 5-block curvilinear O-grid + wake
-(~14k cells at angular resolution 24), dt=1e-2, step_length=0.25 => 25
-adaptive PISO steps per env step with 2 Jacobi-PCG pressure corrections each,
-non-orthogonal deferred corrections, convective outflow -- batch 64 via vmap
-on one TPU chip, RL stepping path (warm-started solves), measured at
-DEVELOPED flow (the state an RL training loop actually runs in, not the
-cheap near-reset transient).
+North star (BASELINE.md): ">=50x CPU-reference env steps/sec on 2D cylinder
+at 256^2, batch 64" plus a grad-through-rollout timing.  Measured here as:
 
-The flow is developed with short (5-sim-step) device calls first: the
-impulsive-start transient needs many CFL substeps + Krylov iterations and a
-single 25-sim-step batched device call during it can exceed the TPU runtime's
-per-call watchdog.
-
-``vs_baseline``: the target is ">=50x CPU-reference env steps/sec".  The
-CUDA/torch reference cannot run here, so the denominator is this framework's
-single-env CPU throughput at REFERENCE-PARITY solver settings (cold-started
-pressure solves, the reference's default; this framework's TPU-path
-warm-start+deflation optimizations are disabled for the denominator so that
-improving them does not inflate the baseline) times 50: vs_baseline >= 1.0
-means the 50x-over-CPU target is met.
+* headline -- full-fidelity CylinderJet2D physics (5-block curvilinear O-grid
+  + wake, adaptive PISO with 2 pressure corrections, non-orthogonal deferred
+  corrections, convective outflow) at angular resolution 56 (~70.7k cells;
+  256^2 = 65.5k), batch 64 via vmap on one TPU chip, measured at DEVELOPED
+  flow loaded from ``bench_assets/cyl2d_res56_developed`` (t~=25, past
+  shedding onset);
+* ``vs_baseline`` -- the CUDA/torch reference cannot run here, so the
+  denominator is this framework's own single-env CPU throughput at
+  REFERENCE-PARITY solver settings (cold-started pressure solves), measured
+  at the SAME developed state from the same asset file, times 50.
+  vs_baseline >= 1.0 means the 50x target is met.  Numerator and denominator
+  share state and physics settings; only device and batching differ.
+* ``extra`` -- the round-1 flagship row (res 24, ~14k cells) for continuity,
+  and the north star's gradient metric: seconds per differentiable env step
+  (value+grad of mean reward w.r.t. actions, batch 8) and its ratio to the
+  forward-only step.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
+from pathlib import Path
 
+REPO = Path(__file__).resolve().parent
 BATCH = 64
 N_MEASURE = 10
-WARM_SHORT_CALLS = 100   # 5 sim steps each -> t = 5
-WARM_LONG_CALLS = 60     # 25 sim steps each -> t = 20 (shedding developing)
+N_WARM = 5
+GRAD_BATCH = 8
 ENV_KW = dict(
     load_initial_domain=False,
     load_domain_statistics=False,
@@ -44,108 +45,164 @@ ENV_KW = dict(
 )
 
 
-def _build(batch, step_length=None, reference_parity=False):
-    import jax
-    import jax.numpy as jnp
-
+def _make_env(resolution, reference_parity=False, differentiable=False):
     import fluidgym_tpu
 
-    kw = dict(ENV_KW)
-    if step_length is not None:
-        kw["step_length"] = step_length
-    env = fluidgym_tpu.make("CylinderJet2D-easy-v0", **kw)
+    env = fluidgym_tpu.make("CylinderJet2D-easy-v0", resolution=resolution,
+                            differentiable=differentiable, **ENV_KW)
     if reference_parity:
-        # cold-started pressure solves (the reference's default behavior)
+        # cold-started pressure solves (the reference's default behavior);
+        # disables this framework's warm-start/deflation optimizations so
+        # improving them never inflates the baseline denominator
         import dataclasses
 
         orig = env._get_simulation
         env._get_simulation = lambda: dataclasses.replace(
             orig(), pressure_warm_start=False, pressure_deflation=False)
     env.reset(seed=0)
-    state = (env._state, env._last_control)
-    action = jnp.zeros((1,), jnp.float32)
+    _load_developed(env, resolution)
+    return env
 
-    if batch is None:
-        return jax.jit(env._pure_step), state, action
 
-    bstate = jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), state)
+def _load_developed(env, resolution) -> None:
+    """Replace the env state with the precomputed developed-flow snapshot
+    (scripts/make_bench_assets.py).  Topology must match exactly."""
+    from fluidgym_tpu.core.domain_io import load_domain
+
+    path = REPO / "bench_assets" / f"cyl2d_res{resolution}_developed"
+    topo, _geoms, state = load_domain(path, dtype=env._dtype)
+    assert topo == env._topo, "bench asset topology mismatch; regenerate assets"
+    env._state = state
+
+
+def _batched(env, batch):
+    import jax
+    import jax.numpy as jnp
+
+    carry = env._pure_carry()
+    bcarry = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape), carry)
     bact = jnp.zeros((batch, 1), jnp.float32)
-    return jax.jit(jax.vmap(env._pure_step)), bstate, bact
+    fn = jax.jit(jax.vmap(env._pure_step))
+    return fn, bcarry, bact
 
 
-def _run(fn, state, action, iters):
+def _time_steps(fn, carry, action, warm, iters):
     import jax
 
-    for _ in range(iters):
-        state, *_ = fn(state, action)
-    jax.block_until_ready(state)
-    return state
-
-
-def _measure(fn, state, action, iters):
-    import jax
-
-    state, *_ = fn(state, action)  # compile
-    jax.block_until_ready(state)
+    for _ in range(warm + 1):  # +1 compile
+        carry, *_ = fn(carry, action)
+    jax.block_until_ready(jax.tree.leaves(carry)[0])
     t0 = time.perf_counter()
-    state = _run(fn, state, action, iters)
-    return (time.perf_counter() - t0) / iters, state
+    for _ in range(iters):
+        carry, *_ = fn(carry, action)
+    jax.block_until_ready(jax.tree.leaves(carry)[0])
+    return (time.perf_counter() - t0) / iters
 
 
-def _cpu_single_env_steps_per_sec() -> float:
-    """Single-env CPU throughput, measured in a subprocess on the host CPU
-    backend (the TPU plugin is process-global)."""
-    code = r"""
+def _tpu_batched_sps(resolution, batch=BATCH) -> float:
+    env = _make_env(resolution)
+    fn, bcarry, bact = _batched(env, batch)
+    dt = _time_steps(fn, bcarry, bact, N_WARM, N_MEASURE)
+    return batch / dt
+
+
+def _grad_metrics(resolution=24, batch=GRAD_BATCH):
+    """Seconds per grad-through-env-step (d mean(reward) / d actions) and the
+    backward:forward ratio -- the BASELINE.md grad-through-rollout metric."""
+    import jax
+    import jax.numpy as jnp
+
+    env = _make_env(resolution, differentiable=True)
+    carry = env._pure_carry()
+    bcarry = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape), carry)
+    bact = jnp.zeros((batch, 1), jnp.float32)
+
+    def mean_reward(actions, c):
+        _, _, rewards, _ = jax.vmap(env._pure_step)(c, actions)
+        return jnp.mean(rewards)
+
+    fwd = jax.jit(mean_reward)
+    vag = jax.jit(jax.value_and_grad(mean_reward))
+
+    for _ in range(2):
+        r = fwd(bact, bcarry)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        r = fwd(bact, bcarry)
+    jax.block_until_ready(r)
+    t_fwd = (time.perf_counter() - t0) / 3
+
+    for _ in range(2):
+        val, g = vag(bact, bcarry)
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        val, g = vag(bact, bcarry)
+    jax.block_until_ready(g)
+    t_grad = (time.perf_counter() - t0) / 3
+    assert bool(jnp.isfinite(g).all()), "non-finite action gradient"
+    return t_grad, t_grad / t_fwd
+
+
+def _cpu_single_env_sps(resolution) -> float:
+    """Single-env CPU throughput at the SAME developed state, reference-parity
+    settings, in a subprocess on the host CPU backend."""
+    code = rf"""
 import json, time
+import jax
+jax.config.update("jax_platforms", "cpu")
 import bench
-fn, state, action = bench._build(None, reference_parity=True)
-# short warmup past the cheapest near-reset steps (kept small: CPU is slow)
-state = bench._run(fn, state, action, iters=2)
-t0 = time.perf_counter()
-state = bench._run(fn, state, action, iters=2)
-print(json.dumps({"dt": (time.perf_counter() - t0) / 2}))
+env = bench._make_env({resolution}, reference_parity=True)
+fn, c, a = bench._batched(env, 1)
+dt = bench._time_steps(fn, c, a, warm=1, iters=2)
+print(json.dumps({{"dt": dt}}))
 """
-    env = {"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
-           "PYTHONPATH": "/root/repo"}
-    import os
-
     full_env = dict(os.environ)
-    full_env.update(env)
+    full_env.update({
+        "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": str(REPO) + os.pathsep + full_env.get("PYTHONPATH", ""),
+    })
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, env=full_env, timeout=3600,
-                         cwd="/root/repo")
+                         text=True, env=full_env, timeout=5400, cwd=str(REPO))
     for line in out.stdout.splitlines()[::-1]:
         try:
             return 1.0 / json.loads(line)["dt"]
         except Exception:
             continue
+    sys.stderr.write(out.stderr[-2000:])
     return float("nan")
 
 
 def main() -> None:
-    import jax
-
-    # develop the flow: short calls through the impulsive transient, then
-    # full-length calls; the two envs share the same domain/state pytree
-    fn_short, state, action = _build(BATCH, step_length=0.05)
-    state = _run(fn_short, state, action, WARM_SHORT_CALLS)
-    fn_full, _, _ = _build(BATCH)
-    state = _run(fn_full, state, action, WARM_LONG_CALLS)
-
-    dt_accel, _ = _measure(fn_full, state, action, N_MEASURE)
-    steps_per_sec = BATCH / dt_accel
-
+    # persistent compilation cache: configured machine-keyed by the package
+    # import (fluidgym_tpu/__init__.py)
+    sps_256 = _tpu_batched_sps(56)
+    sps_24 = _tpu_batched_sps(24)
     try:
-        cpu_sps = _cpu_single_env_steps_per_sec()
-        vs_baseline = steps_per_sec / (50.0 * cpu_sps)
+        grad_s, grad_ratio = _grad_metrics()
     except Exception:
-        vs_baseline = float("nan")
+        grad_s, grad_ratio = float("nan"), float("nan")
+    try:
+        cpu_sps = _cpu_single_env_sps(56)
+        vs_baseline = sps_256 / (50.0 * cpu_sps)
+    except Exception:
+        cpu_sps, vs_baseline = float("nan"), float("nan")
 
     print(json.dumps({
-        "metric": "cylinder2d_env_steps_per_sec_batch64",
-        "value": round(float(steps_per_sec), 3),
+        "metric": "cylinder2d_256sq_env_steps_per_sec_batch64",
+        "value": round(float(sps_256), 3),
         "unit": "env_steps/s",
         "vs_baseline": round(float(vs_baseline), 3),
+        "extra": {
+            "grid_cells_256sq_row": 70672,
+            "res24_batch64_env_steps_per_sec": round(float(sps_24), 3),
+            "cpu_single_env_steps_per_sec_res56": round(float(cpu_sps), 5),
+            "grad_step_seconds_batch8_res24": round(float(grad_s), 4),
+            "grad_over_forward_ratio": round(float(grad_ratio), 3),
+        },
     }))
 
 

@@ -19,11 +19,31 @@ import jax as _jax
 
 # Persistent compilation cache: PISO-step compilations are expensive (minutes)
 # and identical across processes; opt out with FLUIDGYM_TPU_NO_COMPILE_CACHE.
+
+
+def _default_compile_cache_dir() -> str:
+    """Cache dir keyed on the host CPU feature set: /tmp can outlive the
+    machine (containers migrate between hosts), and XLA:CPU AOT executables
+    compiled for another host's vector extensions load with SIGILL-risk
+    warnings -- a fresh keyed dir instead of a poisoned shared one."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    key = hashlib.sha1(line.encode()).hexdigest()[:10]
+                    return f"/tmp/fluidgym_tpu_jax_cache_{key}"
+    except OSError:
+        pass
+    return "/tmp/fluidgym_tpu_jax_cache"
+
+
 if not _os.environ.get("FLUIDGYM_TPU_NO_COMPILE_CACHE"):
     _jax.config.update(
         "jax_compilation_cache_dir",
         _os.environ.get("FLUIDGYM_TPU_COMPILE_CACHE",
-                        "/tmp/fluidgym_tpu_jax_cache"),
+                        _default_compile_cache_dir()),
     )
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

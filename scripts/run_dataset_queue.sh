@@ -1,0 +1,44 @@
+#!/bin/bash
+# Sequential initial-domain dataset generation on the TPU (single-tenant:
+# one process at a time).  Each config resumes from partial output, so the
+# queue can be re-run after interruption.  Cheap 2D configs first.
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:${PYTHONPATH:-}"
+LOG=${LOG:-/tmp/dataset_queue.log}
+GEN="python -u scripts/generate_datasets.py"
+
+run() {
+  echo "=== $(date +%H:%M:%S) $* ===" >> "$LOG"
+  timeout "${STEP_TIMEOUT:-7200}" $GEN "$@" --bundle >> "$LOG" 2>&1 \
+    || echo "!!! FAILED: $*" >> "$LOG"
+}
+
+# ---- phase A: 2D (RBC restart=True -> 30 lockstep lanes; others 10) -------
+run RBC2D-medium-v0        --lanes 30
+run RBC2D-hard-v0          --lanes 30
+run RBC2D-wide-easy-v0     --lanes 30
+run RBC2D-wide-medium-v0   --lanes 30
+run RBC2D-wide-hard-v0     --lanes 30
+run CylinderJet2D-medium-v0 --lanes 10
+run CylinderJet2D-hard-v0   --lanes 10
+run Airfoil2D-easy-v0      --lanes 10
+run Airfoil2D-medium-v0    --lanes 10
+run Airfoil2D-hard-v0      --lanes 10
+
+# ---- phase B: 3D moderate --------------------------------------------------
+run RBC3D-easy-v0          --lanes 10
+run RBC3D-medium-v0        --lanes 10
+run RBC3D-hard-v0          --lanes 10
+run RBC3D-wide-easy-v0     --lanes 6
+run RBC3D-wide-medium-v0   --lanes 6
+run RBC3D-wide-hard-v0     --lanes 6
+run CylinderJet3D-easy-v0  --lanes 3 --n-domains 3
+run Airfoil3D-easy-v0      --lanes 3 --n-domains 3 --episode-steps 100
+
+# ---- phase C: TCF (burn-ins measured in ETT; bottom/both share domains) ----
+run TCFSmall3D-bottom-easy-v0 --lanes 3 --n-domains 3 --episode-steps 100
+run CylinderJet3D-medium-v0 --lanes 2 --n-domains 2
+run Airfoil3D-medium-v0    --lanes 2 --n-domains 2 --episode-steps 100
+run TCFSmall3D-bottom-medium-v0 --lanes 2 --n-domains 2 --episode-steps 60
+echo "=== QUEUE DONE $(date) ===" >> "$LOG"

@@ -92,3 +92,28 @@ def test_airfoil_action_zero_mean():
     masked = np.asarray(env._jet_masks)
     assert np.allclose(np.asarray(m)[masked[0] > 0], 1.0)
     assert np.allclose(np.asarray(m)[masked[2] > 0], -1.0)
+
+
+def test_airfoil_local_2d_obs_matches_2d_env_shapes(monkeypatch):
+    """local_2d_obs 3D MARL agents see observations shaped exactly like the
+    2D env's (reference tests/envs/test_all_envs.py:102-126, Airfoil3D row)."""
+    from fluidgym_tpu.envs.airfoil.airfoil_env_3d import AirfoilEnv3D
+
+    monkeypatch.setattr(AirfoilEnv3D, "_res_z", 8)  # CPU-sized span
+    kw = dict(DEV_KW)
+    env2d = fluidgym_tpu.make("Airfoil2D-easy-v0", **kw)
+    env3d = fluidgym_tpu.make("Airfoil3D-easy-v0", use_marl=True,
+                              local_2d_obs=True, init_from_2d=False, **kw)
+
+    for key, space2d in env2d.observation_space.spaces.items():
+        assert env3d.observation_space[key].shape == space2d.shape, key
+
+    obs2d, _ = env2d.reset(seed=42)
+    obs3d, _ = env3d.reset(seed=42)
+    for key in obs2d:
+        assert obs3d[key].shape == (env3d.n_agents, *obs2d[key].shape), key
+
+    a3 = np.zeros((env3d.n_agents,) + env3d.action_space.shape, np.float32)
+    obs3d, rew, term, trunc, info = env3d.step(a3)
+    for key in obs2d:
+        assert obs3d[key].shape == (env3d.n_agents, *obs2d[key].shape), key

@@ -88,13 +88,22 @@ def test_jet3d_marl_contract():
 
 
 def test_divergence_free_after_init(jet_env):
+    """Post-reset velocity is (approximately) solenoidal: the projection at
+    reset must leave divergence SMALL relative to the O(1) inflow velocity,
+    not merely finite (the impulsive start around the cylinder wall puts O(1)
+    divergence into the unprojected field)."""
     from fluidgym_tpu.solver import stencil as st
 
     env = jet_env
     env.reset(seed=2)
     divs = st.velocity_divergence(env._state, env._geoms, env._topo)
     for d in divs:
-        assert np.isfinite(np.asarray(d)).all()
+        d = np.asarray(d)
+        assert np.isfinite(d).all()
+        # unprojected impulsive start: div ~ U/h ~ O(10) at the wall for the
+        # res-16 fixture; the projection must knock it down by >~100x
+        assert np.sqrt((d**2).mean()) < 2e-2
+        assert np.abs(d).max() < 0.2
 
 
 def test_local_2d_obs_matches_2d_env_shapes():
