@@ -197,10 +197,11 @@ class AirfoilEnvBase(WallForcesMixin, FluidEnv):
             velocity_corrector="FD",
             non_orthogonal=True,
             differentiable=self._differentiable,
-            # see cylinder_env_base: warm+deflated pressure starts on the
-            # RL stepping path
-            pressure_warm_start=not self._differentiable,
-            pressure_deflation=not self._differentiable,
+            # see cylinder_env_base: warm+deflated pressure starts; in
+            # differentiable mode the guess is stop_gradient-ed + self-gated
+            # in _solve (gradients unchanged, fp64-FD-pinned)
+            pressure_warm_start=True,
+            pressure_deflation=True,
         )
 
     def _additional_initialization(self) -> None:

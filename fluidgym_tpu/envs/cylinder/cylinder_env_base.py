@@ -210,14 +210,17 @@ class CylinderEnvBase(WallForcesMixin, FluidEnv):
             velocity_corrector="FD",
             non_orthogonal=True,
             differentiable=self._differentiable,
-            # RL stepping path: warm-start pressure CG from the previous
-            # pressure with a coarse-space (deflation) correction of the
-            # guess -- 3x measured env-step throughput at matched shedding
-            # physics (St/cl_rms unchanged, cd within 0.7%; see
-            # solver/piso.py:_make_deflation_x0).  The differentiable path
-            # keeps cold starts (validated gradients).
-            pressure_warm_start=not self._differentiable,
-            pressure_deflation=not self._differentiable,
+            # Warm-start pressure CG from the previous pressure with a
+            # coarse-space (deflation) correction of the guess -- 3x measured
+            # env-step throughput at matched shedding physics (St/cl_rms
+            # unchanged, cd within 0.7%; solver/piso.py:_make_deflation_x0).
+            # In differentiable mode the guess is stop_gradient-ed and
+            # self-gated inside _solve (implicit-function property: the
+            # solution is guess-independent); fp64 FD pinning measured
+            # rel. err 6.0e-9 with warm+deflation on, 5.5x faster forward
+            # (scripts/validate_gradients.py, VALIDATION.md round 2).
+            pressure_warm_start=True,
+            pressure_deflation=True,
         )
 
     def _additional_initialization(self) -> None:

@@ -260,12 +260,45 @@ def _lane_solver(ndims: int, tol2_sum: float, maxiter: int, stall_iters: int,
             interpret=interpret,
         )(b, diag, *offs, x0)
 
+    def xla_loop_lanes(diag, offs, b, x0):
+        """Fallback when VMEM holds too few lanes for residency to win
+        (lane serialization measured 0.56x the XLA loop): the plain
+        lockstep XLA CG, reconstructed from the same roll-form operator."""
+        from fluidgym_tpu.solver import linsolve
+
+        def one(diag1, offs1, b1, x01):
+            def mv(v):
+                y = diag1 * v
+                for f in range(nf):
+                    d = f // 2
+                    ax = v.ndim - 1 - d
+                    shift = 1 if f % 2 == 0 else -1
+                    y = y + offs1[f] * jnp.roll(v, shift, axis=ax)
+                return y
+
+            precond = (lambda r: r / diag1) if precondition else None
+            tol = float(np.sqrt(tol2_sum / b1.size))
+            x, info = linsolve.cg(
+                mv, b1, x0=x01 if warm_start else None, tol=tol,
+                maxiter=maxiter, return_best=return_best, precond=precond,
+                stall_iters=stall_iters)
+            rs = (info.residual.astype(b1.dtype) ** 2) * b1.size
+            return x, info.iterations, rs
+
+        x, iters, rs = jax.vmap(one)(diag, jnp.stack(offs, 1), b, x0)
+        # match the kernel's full-shape stat outputs
+        expand = lambda a: a.reshape((a.shape[0],) + (1,) * (b.ndim - 1))
+        return (x, jnp.broadcast_to(expand(iters), b.shape).astype(jnp.int32),
+                jnp.broadcast_to(expand(rs), b.shape))
+
     def solve_lanes(diag, offs, b, x0):
         """Chunk lanes so every kernel call stays within the VMEM budget;
         chunks solve sequentially (lax.map), lanes within a chunk lockstep."""
         lanes = b.shape[0]
         spatial = b.shape[1:]
         chunk = min(lanes, _max_lanes(spatial, ndims, b.dtype))
+        if lanes > 1 and chunk < min(lanes, 8):
+            return xla_loop_lanes(diag, offs, b, x0)
         if chunk >= lanes:
             return call_kernel(diag, offs, b, x0)
         n_chunks = -(-lanes // chunk)
@@ -347,6 +380,10 @@ def fused_cg(
     tol2_sum = float(tol) * float(tol) * n
     warm = x0 is not None
     x0_in = b if x0 is None else x0  # placeholder input when cold
+    if not interpret and jax.default_backend() == "cpu":
+        # the CPU backend only runs Pallas in interpret mode; honor a forced
+        # set_fused_cg(True) there instead of failing at lowering
+        interpret = True
 
     solve = _lane_solver(ndims, tol2_sum, int(maxiter), int(stall_iters),
                          bool(precondition), bool(return_best), warm,

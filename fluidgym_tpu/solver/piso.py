@@ -320,6 +320,31 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                                return_best=return_best, precond=precond_fn,
                                stall_iters=stall_iters)
 
+        def diff_guess(mv_fn, bb):
+            """Initial guess for solves under ``custom_linear_solve``.
+
+            stop_gradient-ed: by the implicit-function property the solution
+            (hence the gradient) is guess-independent, so the guess machinery
+            (previous iterate, deflation coarse setup) must not enter the
+            backward graph.  The plain warm start is additionally SELF-GATED
+            with one matvec: the same solve_fn also runs the TRANSPOSE solve,
+            whose RHS is a cotangent unrelated to the forward-state guess --
+            an ungated stale guess there costs (many) extra iterations.
+            ``x0_fn`` (deflation) needs no gate: its coarse projection is
+            computed from ``bb`` itself, so it adapts to either solve.
+            """
+            if x0_fn is not None:
+                return jax.tree.map(lax.stop_gradient, x0_fn(bb))
+            if x0 is None:
+                return None
+            g = jax.tree.map(lax.stop_gradient, x0)
+            r0 = jax.tree.map(lambda y, ay: y - ay, bb, mv_fn(g))
+            rs0 = sum(jnp.vdot(r, r).real for r in jax.tree.leaves(r0))
+            rsb = sum(jnp.vdot(y, y).real for y in jax.tree.leaves(bb))
+            ok = rs0 <= rsb
+            return jax.tree.map(
+                lambda gg: jnp.where(ok, gg, jnp.zeros_like(gg)), g)
+
         if fused:
             from fluidgym_tpu.ops import cg_pallas
 
@@ -328,7 +353,7 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
             # the same symmetric solve) -- gradients never differentiate
             # through the Krylov loop itself
             def solve_fn(mv_fn, bb):
-                guess = x0_fn(bb) if x0_fn is not None else None
+                guess = diff_guess(mv_fn, bb)
                 x1, _ = cg_pallas.fused_cg(
                     ops[0].diag, ops[0].off, bb[0],
                     x0=None if guess is None else guess[0],
@@ -338,7 +363,7 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                 return (x1,)
         else:
             def solve_fn(mv_fn, bb):
-                guess = x0_fn(bb) if x0_fn is not None else None
+                guess = diff_guess(mv_fn, bb)
                 return linsolve.cg(mv_fn, bb, x0=guess, tol=tol,
                                    maxiter=maxiter, return_best=return_best,
                                    precond=precond_fn,
@@ -623,11 +648,17 @@ def piso_substep_info(
     coarse_fn = None
     if ((cfg.pressure_deflation or cfg.pressure_coarse_precondition)
             and not cfg.pressure_use_bicg):
+        # differentiable mode: the coarse setup only produces initial
+        # guesses, which are stop_gradient-ed in _solve (implicit-function
+        # property: the solution is guess-independent) -- keep its k-matvec
+        # setup graph out of the AD tape entirely
+        setup_ops = (jax.tree.map(lax.stop_gradient, p_ops)
+                     if cfg.differentiable else p_ops)
         coarse = _make_coarse_solver(
-            p_ops, topo, state.blocks[0].pressure.dtype)
+            setup_ops, topo, state.blocks[0].pressure.dtype)
         if cfg.pressure_deflation:
             defl = _make_deflation_x0(
-                p_ops, topo, state.blocks[0].pressure.dtype, coarse=coarse)
+                setup_ops, topo, state.blocks[0].pressure.dtype, coarse=coarse)
         if cfg.pressure_coarse_precondition:
             coarse_fn = coarse
     for _ in range(cfg.corrector_steps):

@@ -120,7 +120,7 @@ def case_rbc_reward():
           eps=1e-5, tol=1e-4)
 
 
-def case_cylinder_reward(substeps):
+def case_cylinder_reward(substeps, warm=False):
     import fluidgym_tpu
 
     env = fluidgym_tpu.make(
@@ -138,6 +138,12 @@ def case_cylinder_reward(substeps):
             pressure_maxiter=20000, advection_maxiter=20000)
         if substeps is not None:
             cfg = dataclasses.replace(cfg, substeps=substeps)
+        if warm:
+            # the RL-path guess machinery under custom_linear_solve: the
+            # implicit-function property makes the solution guess-independent
+            # and _solve stop_gradients the guess; this check pins that
+            cfg = dataclasses.replace(cfg, pressure_warm_start=True,
+                                      pressure_deflation=True)
         return cfg
 
     env._get_simulation = sim
@@ -154,6 +160,8 @@ def case_cylinder_reward(substeps):
     name = (f"cylinder jet action -> reward ({substeps} fixed substeps)"
             if substeps is not None
             else "cylinder jet action -> reward (ADAPTIVE substeps)")
+    if warm:
+        name += " +warm/defl"
     tol = 1e-4 if substeps is not None else 1e-1
     check(name, loss, a0, eps=1e-5, tol=tol)
 
@@ -162,6 +170,7 @@ if __name__ == "__main__":
     case_taylor_green()
     case_rbc_reward()
     case_cylinder_reward(substeps=4)
+    case_cylinder_reward(substeps=4, warm=True)
     # the adaptive masked-scan path: substep count from ceil() is piecewise
     # constant, so the step map is smooth almost everywhere but FD probes can
     # straddle a breakpoint; quantified separately (loose tol), per VERDICT

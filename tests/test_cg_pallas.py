@@ -135,6 +135,26 @@ def test_fused_cg_vmap_chunked(monkeypatch):
         assert np.allclose(np.asarray(xb[i]), np.asarray(xi), atol=5e-4)
 
 
+def test_fused_cg_vmap_xla_fallback(monkeypatch):
+    """When VMEM holds fewer than 8 lanes, the vmap rule falls back to the
+    lockstep XLA loop (lane serialization loses); results still match."""
+    shape, ndims = (16, 128), 2
+    op = _poisson_like_op(shape, ndims, seed=11)
+    rng = np.random.default_rng(12)
+    bs = jnp.asarray(rng.normal(size=(5,) + shape), jnp.float32)
+
+    monkeypatch.setattr(cg_pallas, "_VMEM_BUDGET_BYTES",
+                        3 * cg_pallas._lane_bytes(shape, ndims, jnp.float32))
+    assert cg_pallas._max_lanes(shape, ndims, jnp.float32) < 8
+    solve = functools.partial(cg_pallas.fused_cg, ndims=ndims, tol=1e-6,
+                              interpret=True)
+    xb, infob = jax.vmap(lambda b: solve(op.diag, op.off, b))(bs)
+    assert bool(infob.converged.all())
+    for i in range(5):
+        xi, _ = solve(op.diag, op.off, bs[i])
+        assert np.allclose(np.asarray(xb[i]), np.asarray(xi), atol=5e-4)
+
+
 def test_dispatch_gate():
     """_fused_cg_usable: single block + no CONNECTED faces + VMEM fit only."""
     from fluidgym_tpu.solver.piso import _fused_cg_usable
@@ -146,3 +166,40 @@ def test_dispatch_gate():
     # eligibility is necessary but the mode gate must hold on CPU "auto"
     cg_pallas.set_fused_cg("auto")
     assert not cg_pallas.fused_cg_enabled()  # CPU backend in tests
+
+
+def test_fused_solve_differentiable_matches_xla(monkeypatch):
+    """piso._solve with the fused kernel under lax.custom_linear_solve:
+    solution and implicit-function gradient match the XLA path."""
+    from fluidgym_tpu.core.domain import BoundKind, BlockTopo, DomainTopo, FaceSpec
+    from fluidgym_tpu.solver import piso
+
+    shape, ndims = (8, 128), 2
+    op = _poisson_like_op(shape, ndims, seed=13)
+    topo = DomainTopo(
+        ndims=2,
+        blocks=(BlockTopo(shape=shape, orthogonal=True,
+                          faces=tuple(FaceSpec(kind=BoundKind.PERIODIC)
+                                      for _ in range(4))),),
+    )
+    b = jnp.asarray(np.random.default_rng(14).normal(size=shape), jnp.float32)
+
+    def solve_loss(diag, fused):
+        cg_pallas.set_fused_cg(fused)
+        try:
+            op2 = st.StencilOp(diag=diag, off=op.off)
+            x, _ = piso._solve((op2,), (b,), topo, tol=1e-6, maxiter=400,
+                               symmetric=True, use_bicg=False,
+                               return_best=True, differentiable=True,
+                               precondition=True)
+            return jnp.sum(x[0] ** 2)
+        finally:
+            cg_pallas.set_fused_cg("auto")
+
+    g_xla = jax.grad(lambda d: solve_loss(d, False))(op.diag)
+    g_fused = jax.grad(lambda d: solve_loss(d, True))(op.diag)
+    l_xla = solve_loss(op.diag, False)
+    l_fused = solve_loss(op.diag, True)
+    assert np.allclose(float(l_xla), float(l_fused), rtol=1e-4)
+    assert np.allclose(np.asarray(g_xla), np.asarray(g_fused),
+                       rtol=1e-3, atol=1e-5 * np.abs(np.asarray(g_xla)).max())
