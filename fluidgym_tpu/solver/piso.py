@@ -188,6 +188,18 @@ class SimConfig:
     # differentiable paths.  Targets cold-started / stagnation-bound solves
     # where the slow coarse modes dominate the iteration count.
     pressure_coarse_precondition: bool = False
+    # Geometric multigrid V-cycle preconditioner for the pressure CG
+    # (solver/multigrid.py): Galerkin-coarsened stencil hierarchy with
+    # damped-Jacobi smoothing, block-additive on multi-block domains.
+    # Symmetric positive definite, setup stop_gradient-ed -- valid on both
+    # the RL and differentiable paths.  Targets the fp32 stagnation floor of
+    # the tight-tolerance 3D solves (tol 5e-7/1e-8), where plain Jacobi-PCG
+    # ends by stall patience.  Supersedes pressure_coarse_precondition when
+    # both are set.
+    pressure_multigrid: bool = False
+    mg_sweeps: int = 2
+    mg_omega: float = 0.8
+    mg_coarsest_sweeps: int = 24
     # Static bound on CFL substeps per env dt in DIFFERENTIABLE adaptive mode
     # (reverse-mode AD cannot differentiate a dynamic while_loop, so the
     # adaptive loop becomes a masked lax.scan of this fixed length; converged
@@ -203,11 +215,13 @@ class SimConfig:
             )
         if self.pressure_use_bicg and (
             self.pressure_deflation or self.pressure_coarse_precondition
+            or self.pressure_multigrid
         ):
             raise ValueError(
-                "pressure_deflation / pressure_coarse_precondition require "
-                "the CG pressure solver (pressure_use_bicg=False); BiCGStab "
-                "has no deflation/preconditioning support"
+                "pressure_deflation / pressure_coarse_precondition / "
+                "pressure_multigrid require the CG pressure solver "
+                "(pressure_use_bicg=False); BiCGStab has no "
+                "deflation/preconditioning support"
             )
 
 
@@ -258,7 +272,8 @@ def _posthoc_info(mv, b, x, tol) -> linsolve.SolveInfo:
 
 def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
            return_best, differentiable=True, x0=None, precondition=False,
-           x0_fn=None, stall_iters=250, coarse_fn=None):
+           x0_fn=None, stall_iters=250, coarse_fn=None,
+           precond_override=None):
     """Differentiable global linear solve over all blocks; returns
     ``(x, SolveInfo)`` -- the convergence metadata the reference surfaces as
     ``LinearSolverResultInfo`` / raises as ``LinsolveError``
@@ -284,7 +299,11 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                         jax.tree.leaves(b)[0].dtype))
 
     precond_fn = None
-    if precondition:
+    if precond_override is not None:
+        # e.g. the multigrid V-cycle (build_mg_preconditioner); replaces the
+        # Jacobi/coarse combination entirely
+        precond_fn = precond_override
+    elif precondition:
         inv_diag = tuple(1.0 / op.diag for op in ops)
         if coarse_fn is None:
             def precond_fn(rs):
@@ -302,7 +321,8 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
             return tuple(r + c for r, c in zip(rs, cg))
 
     if symmetric and not use_bicg:
-        fused = _fused_cg_usable(ops, topo, coarse_fn)
+        fused = (precond_override is None
+                 and _fused_cg_usable(ops, topo, coarse_fn))
 
         if not differentiable:
             guess = x0_fn(b) if x0_fn is not None else x0
@@ -646,21 +666,32 @@ def piso_substep_info(
     pressures = tuple(blk.pressure for blk in state.blocks)
     defl = None
     coarse_fn = None
-    if ((cfg.pressure_deflation or cfg.pressure_coarse_precondition)
-            and not cfg.pressure_use_bicg):
-        # differentiable mode: the coarse setup only produces initial
-        # guesses, which are stop_gradient-ed in _solve (implicit-function
-        # property: the solution is guess-independent) -- keep its k-matvec
-        # setup graph out of the AD tape entirely
+    mg_fn = None
+    if ((cfg.pressure_deflation or cfg.pressure_coarse_precondition
+         or cfg.pressure_multigrid) and not cfg.pressure_use_bicg):
+        # differentiable mode: the setup only shapes guesses/convergence
+        # (the converged solution -- hence the gradient -- is independent of
+        # both, and _solve stop_gradients the guesses) -- keep the setup
+        # graph out of the AD tape entirely
         setup_ops = (jax.tree.map(lax.stop_gradient, p_ops)
                      if cfg.differentiable else p_ops)
-        coarse = _make_coarse_solver(
-            setup_ops, topo, state.blocks[0].pressure.dtype)
-        if cfg.pressure_deflation:
-            defl = _make_deflation_x0(
-                setup_ops, topo, state.blocks[0].pressure.dtype, coarse=coarse)
-        if cfg.pressure_coarse_precondition:
-            coarse_fn = coarse
+        if cfg.pressure_deflation or cfg.pressure_coarse_precondition:
+            coarse = _make_coarse_solver(
+                setup_ops, topo, state.blocks[0].pressure.dtype)
+            if cfg.pressure_deflation:
+                defl = _make_deflation_x0(
+                    setup_ops, topo, state.blocks[0].pressure.dtype,
+                    coarse=coarse)
+            if cfg.pressure_coarse_precondition:
+                coarse_fn = coarse
+        if cfg.pressure_multigrid:
+            from fluidgym_tpu.solver import multigrid
+
+            mg_fn = multigrid.build_mg_preconditioner(
+                setup_ops, topo.ndims, omega=cfg.mg_omega,
+                sweeps=cfg.mg_sweeps,
+                coarsest_sweeps=cfg.mg_coarsest_sweeps, topo=topo)
+            coarse_fn = None  # multigrid supersedes the additive coarse
     for _ in range(cfg.corrector_steps):
         if defl is not None:
             x0_fn = functools.partial(
@@ -699,6 +730,7 @@ def piso_substep_info(
             x0_fn=x0_fn,
             stall_iters=cfg.pressure_stall_iters,
             coarse_fn=coarse_fn,
+            precond_override=mg_fn,
         )
         info = info._replace(
             pressure_converged=jnp.logical_and(
