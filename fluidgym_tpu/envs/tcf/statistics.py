@@ -25,7 +25,8 @@ from fluidgym_tpu.envs.tcf import tools
 Array = jax.Array
 
 __all__ = ["VelocityStatsState", "velocity_stats_init", "velocity_stats_update",
-           "velocity_stats_finalize", "VelocityStats", "SavedRunProfile"]
+           "velocity_stats_finalize", "VelocityStats", "SavedRunProfile",
+           "TCFAnalysis"]
 
 STAT_KEYS = ("U+", "V+", "W+", "u'+", "v'+", "w'+", "uv'+")
 #: higher-order / pressure keys (PISOTCFProfile.Profiles, TCF_tools.py:97-110)
@@ -269,3 +270,247 @@ class SavedRunProfile:
         if key not in prof:
             raise NotImplementedError(f"Unsupported profile: {key}")
         return prof[key]
+
+
+class TCFAnalysis:
+    """Full-run turbulence analyzer: velocity/pressure moments plus the
+    reference ``VelocityStats``'s optional deep diagnostics — 2D x-z velocity
+    spectra at selected y+ planes (TCF_tools.py:445-456, 1375-1456),
+    per-component TKE budgets (online_statistics.py:790-1271,
+    TCF_tools.py:1196-1374), and temporal two-point correlations of the
+    velocity fluctuations (TCF_tools.py:1090-1195) — as one streaming
+    recorder whose update runs jitted on device.
+
+    ``pos_y``: wall-normal cell centers in [-1, 1]; ``lengths``: physical
+    (Lz, Lx) of the homogeneous directions (for spectra wavelengths);
+    ``psd_planes``: y cell indices (lower half) to accumulate spectra at.
+    """
+
+    def __init__(self, pos_y: np.ndarray, viscosity: float,
+                 lengths: tuple[float, float] | None = None,
+                 psd_planes: tuple[int, ...] = (),
+                 budgets: bool = False, temporal_corr: bool = False):
+        from fluidgym_tpu.utils import online_statistics as ost
+
+        self._ost = ost
+        self.stats = VelocityStats(pos_y, viscosity)
+        self.lengths = lengths
+        self.psd_planes = tuple(int(p) for p in psd_planes)
+        self._spectra = None          # lazily shaped at first record
+        self._budget = ost.budget_init(len(self.stats.pos_y)) if budgets \
+            else None
+        self._use_tcorr = bool(temporal_corr)
+        self._tcorr_base = None
+        self._tcorr_coeffs: list[np.ndarray] = []   # each (3, ny)
+        self._tcorr_times: list[float] = []
+        self._jit_update = jax.jit(self._update, static_argnames=("has_p",))
+
+    # -- jitted pure update over all enabled accumulators --------------------
+    def _update(self, vstate, sstate, tbase, velocity, pressure,
+                d_wall, has_p: bool):
+        ost = self._ost
+        vstate = velocity_stats_update(
+            vstate, velocity, d_wall, pressure if has_p else None)
+        if sstate is not None:
+            sstate = ost.spatial_spectra_update(
+                sstate, velocity, jnp.asarray(self.psd_planes, jnp.int32))
+        coeff = None
+        if tbase is not None:
+            fluct = velocity - velocity.mean(axis=(1, 3), keepdims=True)
+            coeff = ost.two_point_corr(tbase, fluct, (1, 3))  # (3, ny)
+        return vstate, sstate, coeff
+
+    def record(self, velocity, pressure=None, gradients=None,
+               time: float | None = None) -> None:
+        """Accumulate one snapshot.  ``velocity`` (3, nz, ny, nx);
+        ``pressure`` (nz, ny, nx); ``gradients`` (3, 3, nz, ny, nx) — required
+        when budgets are enabled (``solver.sgs.velocity_gradients``)."""
+        from fluidgym_tpu.utils import online_statistics as ost
+
+        if self.psd_planes and self._spectra is None:
+            nz, _, nx = velocity.shape[1:]
+            self._spectra = ost.spatial_spectra_init(
+                3, len(self.psd_planes), nz, nx)
+        if self._use_tcorr and self._tcorr_base is None:
+            fluct = velocity - velocity.mean(axis=(1, 3), keepdims=True)
+            self._tcorr_base = ost.two_point_corr_init(fluct, (1, 3))
+        vstate, sstate, coeff = self._jit_update(
+            self.stats.state, self._spectra, self._tcorr_base,
+            velocity, pressure if pressure is not None
+            else jnp.zeros(velocity.shape[1:], velocity.dtype),
+            jnp.asarray(self.stats._d_wall), has_p=pressure is not None)
+        self.stats.state = vstate
+        self._spectra = sstate
+        if coeff is not None:
+            self._tcorr_coeffs.append(np.asarray(jax.device_get(coeff)))
+            self._tcorr_times.append(
+                float(time) if time is not None else len(self._tcorr_times))
+        if self._budget is not None:
+            if gradients is None:
+                raise ValueError("budgets enabled: pass gradients "
+                                 "(solver.sgs.velocity_gradients)")
+            if pressure is None:
+                raise ValueError("budgets enabled: pass pressure")
+            self._budget = self._ost.budget_update(
+                self._budget, velocity, pressure, gradients)
+
+    # -- finalized diagnostics ------------------------------------------------
+    def spectra(self):
+        """(lambdas, phi): premultiplied x-z spectra per channel/plane in
+        wall units; requires ``lengths`` and at least one recorded frame."""
+        if self._spectra is None or self.lengths is None:
+            raise ValueError("spectra not enabled (psd_planes/lengths unset)")
+        return self._ost.spatial_spectra_phi(
+            self._spectra, self.lengths, self.stats.viscosity,
+            self.stats.u_wall)
+
+    def budgets(self):
+        """TKE budget term profiles in wall units (dict of (3, ny))."""
+        if self._budget is None:
+            raise ValueError("budgets not enabled")
+        out = self._ost.budget_finalize(
+            self._budget, self.stats.pos_y, self.stats.viscosity,
+            self.stats.u_wall)
+        return {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+
+    def temporal_correlation(self):
+        """(ETT, R/R0): eddy-turnover-time lags and normalized correlation
+        coefficients, shape (n_records, 3, ny)."""
+        if not self._tcorr_coeffs:
+            raise ValueError("temporal correlation not enabled / no records")
+        coeffs = np.stack(self._tcorr_coeffs)
+        base = np.where(np.abs(coeffs[0]) > 1e-12, coeffs[0], 1.0)
+        t = np.asarray(self._tcorr_times)
+        ett = tools.t_to_ETT(t - t[0], self.stats.u_wall)
+        return ett, coeffs / base
+
+    # -- persistence ----------------------------------------------------------
+    def save(self, path) -> None:
+        path = Path(path)
+        self.stats.save(path.with_suffix(".moments.npz"))
+        extra = {}
+        if self._spectra is not None:
+            extra["spectra_count"] = np.asarray(self._spectra.count)
+            extra["spectra_amp"] = np.asarray(self._spectra.amp)
+            extra["psd_planes"] = np.asarray(self.psd_planes)
+        if self.lengths is not None:
+            extra["lengths"] = np.asarray(self.lengths)
+        if self._budget is not None:
+            for f in self._budget._fields:
+                extra[f"budget_{f}"] = np.asarray(getattr(self._budget, f))
+        if self._tcorr_coeffs:
+            extra["tcorr_coeffs"] = np.stack(self._tcorr_coeffs)
+            extra["tcorr_times"] = np.asarray(self._tcorr_times)
+        np.savez(path.with_suffix(".extra.npz"), **extra)
+
+    @classmethod
+    def load(cls, path) -> "TCFAnalysis":
+        from fluidgym_tpu.utils import online_statistics as ost
+
+        path = Path(path)
+        vs = VelocityStats.load(path.with_suffix(".moments.npz"))
+        with np.load(path.with_suffix(".extra.npz")) as f:
+            lengths = tuple(f["lengths"]) if "lengths" in f else None
+            planes = tuple(int(p) for p in f["psd_planes"]) \
+                if "psd_planes" in f else ()
+            self = cls(vs.pos_y, vs.viscosity, lengths=lengths,
+                       psd_planes=planes,
+                       budgets="budget_count" in f,
+                       temporal_corr="tcorr_coeffs" in f)
+            self.stats = vs
+            if planes:
+                self._spectra = ost.SpatialSpectraState(
+                    jnp.asarray(f["spectra_count"]),
+                    jnp.asarray(f["spectra_amp"]))
+            if "budget_count" in f:
+                self._budget = ost.BudgetState(*[
+                    jnp.asarray(f[f"budget_{n}"])
+                    for n in ost.BudgetState._fields])
+            if "tcorr_coeffs" in f:
+                self._tcorr_coeffs = list(f["tcorr_coeffs"])
+                self._tcorr_times = list(f["tcorr_times"])
+        return self
+
+    # -- plots (reference _plot_PSD / _plot_energy_budgets /
+    #    _plot_temporal_correlation) ------------------------------------------
+    def plot_spectra(self, path, file_type: str = "svg") -> None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        lambdas, phi = self.spectra()
+        names = [r"$\phi_{uu}$", r"$\phi_{vv}$", r"$\phi_{ww}$"]
+        nrows, ncols = len(self.psd_planes), 3
+        fig, axs = plt.subplots(nrows, ncols,
+                                figsize=(4 * ncols, 4 * nrows), squeeze=False)
+        ypw = self.stats.pos_y_wall()
+        for row, plane in enumerate(self.psd_planes):
+            for col in range(ncols):
+                ax = axs[row][col]
+                data = phi[col, row]
+                data = data / max(data.max(), 1e-30)
+                ax.contourf(lambdas[1], lambdas[0], data,
+                            levels=[0.1, 0.5, 0.9, 1], cmap="Greys")
+                ax.set(xscale="log", yscale="log")
+                if col == 0:
+                    ax.set_ylabel(r"$\lambda_z^+$")
+                if row == nrows - 1:
+                    ax.set_xlabel(r"$\lambda_x^+$")
+                if row == 0:
+                    ax.set_title(names[col])
+                if col == ncols - 1:
+                    ax.annotate(f"$y^+={ypw[plane]:.1f}$", xy=(1.02, 0.5),
+                                xycoords="axes fraction", rotation="vertical",
+                                va="center")
+        fig.tight_layout()
+        fig.savefig(Path(path).with_suffix(f".{file_type}"))
+        plt.close(fig)
+
+    def plot_budgets(self, path, file_type: str = "svg") -> None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        budgets = self.budgets()
+        ypw = self.stats.pos_y_wall()
+        half = (len(ypw) + 1) // 2   # lower half-channel only
+        ypw = ypw[:half]
+        comp = ("u'u'", "v'v'", "w'w'")
+        fig, axs = plt.subplots(1, 3, figsize=(12, 3.2), squeeze=False)
+        for i in range(3):
+            ax = axs[0][i]
+            for term, prof in budgets.items():
+                ax.plot(ypw, prof[i][:half], label=term.replace("_", " "))
+            ax.set_xscale("log")
+            ax.set_xlabel("$y^+$")
+            ax.set_title(comp[i])
+            if i == 0:
+                ax.set_ylabel("gain / loss (wall units)")
+                ax.legend(fontsize=6)
+        fig.tight_layout()
+        fig.savefig(Path(path).with_suffix(f".{file_type}"))
+        plt.close(fig)
+
+    def plot_temporal_correlation(self, path, y_wall: float = 17.2,
+                                  file_type: str = "pdf") -> None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ett, coeffs = self.temporal_correlation()
+        ypw = self.stats.pos_y_wall()
+        idx = int(np.argmin(np.abs(ypw - y_wall)))
+        fig, ax = plt.subplots(figsize=(5, 3.75))
+        for c, label in enumerate(("$u'u'$", "$v'v'$", "$w'w'$")):
+            ax.plot(ett, coeffs[:, c, idx], label=label)
+        ax.set_xlabel("ETT")
+        ax.set_ylabel(r"$R(\mathrm{ETT}) / R(0)$")
+        ax.set_title(f"$y^+={ypw[idx]:.2f}$")
+        ax.grid()
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(Path(path).with_suffix(f".{file_type}"))
+        plt.close(fig)

@@ -26,6 +26,8 @@ __all__ = [
     "TwoPointCorrState", "two_point_corr_init", "two_point_corr",
     "two_point_corr_from_data",
     "BudgetState", "budget_init", "budget_update", "budget_finalize",
+    "SpatialSpectraState", "spatial_spectra_init", "spatial_spectra_update",
+    "spatial_spectra_phi",
 ]
 
 
@@ -292,3 +294,69 @@ def budget_finalize(state: BudgetState, pos_y, viscosity: float,
         "dissipation": -eps / scale,
     }
     return out
+
+
+# -- streaming 2D spatial (x-z) velocity spectra at selected y planes ---------
+# Re-expression of the reference PSDOnline_Torch as used by the TCF tooling
+# (online_statistics.py:269-420 with total_dims=5, fft_dims=(z, x),
+# planes_dim=y, planes_symmetric=True; TCF_tools.py:445-456, 1375-1456):
+# running mean of |fft2| of the instantaneous fields over the two homogeneous
+# directions, restricted to the positive-frequency quadrant, accumulated at a
+# small set of wall-normal planes (and, channel symmetry, their mirrors).
+
+class SpatialSpectraState(NamedTuple):
+    count: Array
+    amp: Array   # (C, n_planes, nkz, nkx) running mean |fft2(field)|
+
+
+def spatial_spectra_init(n_channels: int, n_planes: int, nz: int, nx: int,
+                         dtype=jnp.float32) -> SpatialSpectraState:
+    return SpatialSpectraState(
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((n_channels, n_planes, nz // 2, nx // 2), dtype))
+
+
+def spatial_spectra_update(state: SpatialSpectraState, fields: Array,
+                           planes, symmetric: bool = True
+                           ) -> SpatialSpectraState:
+    """Accumulate one snapshot.  ``fields``: (C, nz, ny, nx); ``planes``: int
+    sequence/array of y indices.  With ``symmetric`` the mirrored planes
+    (ny-1-p) are folded in too (reference planes_symmetric)."""
+    planes = jnp.asarray(planes, jnp.int32)
+    nz, ny, nx = fields.shape[1:]
+
+    def one_side(idx):
+        sl = jnp.take(fields, idx, axis=2)              # (C, nz, n_planes, nx)
+        spec = jnp.abs(jnp.fft.fftn(sl, axes=(1, 3)))
+        # positive-frequency modes k = 1..N//2 (the k=0 mean mode is dropped
+        # rather than mislabeled k=1 as in the reference slice, :319-321)
+        spec = spec[:, 1 : nz // 2 + 1, :, 1 : nx // 2 + 1]
+        return jnp.moveaxis(spec, 2, 1)                 # (C, n_planes, kz, kx)
+
+    amp_b = one_side(planes)
+    n_b = 1.0
+    if symmetric:
+        amp_b = amp_b + one_side(ny - 1 - planes)
+        amp_b, n_b = amp_b / 2.0, 1.0  # mirrored pair averaged into one sample
+    n = state.count + n_b
+    return SpatialSpectraState(n, state.amp + (amp_b - state.amp) * (n_b / n))
+
+
+def spatial_spectra_phi(state: SpatialSpectraState, lengths, viscosity: float,
+                        u_wall: float):
+    """(lambdas, phi): premultiplied spectra vs wall-unit wavelengths.
+
+    ``lengths`` = physical (Lz, Lx) of the homogeneous directions.  Mode k of
+    a periodic direction of length L has wavelength L/k; lambdas are returned
+    in wall units (/(nu/u_tau)), phi is k_z k_x * |fft| (premultiplied, as the
+    reference's get_phi grid product, online_statistics.py:393-419).
+    """
+    import numpy as np
+
+    lstar = viscosity / max(u_wall, 1e-30)
+    nkz, nkx = state.amp.shape[-2:]
+    ks = [np.arange(1, nk + 1, dtype=np.float64) for nk in (nkz, nkx)]
+    lambdas = [L / k / lstar for L, k in zip(lengths, ks)]
+    grid = ks[0][:, None] * ks[1][None, :]
+    phi = np.asarray(state.amp) * grid
+    return lambdas, phi

@@ -61,7 +61,8 @@ def build_jobs(env, n_domains: int, burnin_scale: float):
     return out
 
 
-def run_stage1(env, jobs, lanes: int) -> None:
+def run_stage1(env, jobs, lanes: int, transient_env=None,
+               transient_steps: int = 0, transient_split: int = 1) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -78,6 +79,13 @@ def run_stage1(env, jobs, lanes: int) -> None:
     log(f"stage 1: {len(todo)} burn-in jobs in chunks of {lanes}")
 
     step_fn = None
+    # TPU per-device-call watchdog (~2 min): the impulsive-start transient can
+    # push the adaptive CFL loop to hundreds of substeps in ONE call.  For the
+    # first `transient_steps` logical steps, advance via `transient_env`
+    # (step_length / transient_split) in `transient_split` shorter calls.
+    transient_fn = None
+    if transient_env is not None and transient_steps > 0:
+        transient_fn = jax.jit(jax.vmap(transient_env._pure_step))
     for c0 in range(0, len(todo), lanes):
         chunk = todo[c0:c0 + lanes]
         carries, events = [], []
@@ -100,7 +108,11 @@ def run_stage1(env, jobs, lanes: int) -> None:
         log(f"  chunk {c0 // lanes}: {len(chunk)} lanes, horizon {horizon}")
         t_wall = time.perf_counter()
         for t in range(1, horizon + 1):
-            bcarry, *_ = step_fn(bcarry, bact)
+            if transient_fn is not None and t <= transient_steps:
+                for _ in range(transient_split):
+                    bcarry, *_ = transient_fn(bcarry, bact)
+            else:
+                bcarry, *_ = step_fn(bcarry, bact)
             for lane, ev in enumerate(events):
                 while ev and ev[0][0] == t:
                     _, mode, idx = ev.pop(0)
@@ -207,6 +219,11 @@ def main() -> None:
     ap.add_argument("--lanes", type=int, default=10)
     ap.add_argument("--episode-steps", type=int, default=None)
     ap.add_argument("--burnin-scale", type=float, default=1.0)
+    ap.add_argument("--transient-steps", type=int, default=0,
+                    help="burn-in steps advanced in shorter device calls "
+                         "(TPU watchdog mitigation for stiff transients)")
+    ap.add_argument("--transient-split", type=int, default=4,
+                    help="device calls per logical step during the transient")
     ap.add_argument("--bundle", action="store_true")
     ap.add_argument("--env-kw", nargs="*", default=[],
                     help="extra env kwargs as key=value (values eval'd)")
@@ -214,8 +231,6 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/fluidgym_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import fluidgym_tpu
 
@@ -235,8 +250,19 @@ def main() -> None:
     log(f"{args.env_id} -> {env.initial_domain_id} (n={args.n_domains}, "
         f"lanes={args.lanes}, episode_steps={episode_steps}, "
         f"burnin_scale={args.burnin_scale})")
+    transient_env = None
+    if args.transient_steps > 0:
+        transient_env = fluidgym_tpu.make(
+            args.env_id, step_length=env._step_length / args.transient_split,
+            **kw)
+        transient_env._load_domain_on_reset = False
+        transient_env._enable_actions = False
+        transient_env.reset(seed=0)
+
     jobs = build_jobs(env, args.n_domains, args.burnin_scale)
-    run_stage1(env, jobs, args.lanes)
+    run_stage1(env, jobs, args.lanes, transient_env=transient_env,
+               transient_steps=args.transient_steps,
+               transient_split=args.transient_split)
     run_stage2(env, args.n_domains, episode_steps, args.lanes)
     if args.bundle:
         bundle(env)

@@ -62,7 +62,6 @@ def develop(resolution: int, t_target: float = 25.0) -> None:
 if __name__ == "__main__":
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/fluidgym_tpu_jax_cache")
     ASSETS.mkdir(exist_ok=True)
     for res in (24, 56):
         develop(res)

@@ -11,7 +11,6 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/fluidgym_tpu_jax_cache")
 
 import fluidgym_tpu
 from fluidgym_tpu.solver import linsolve, nonortho, piso

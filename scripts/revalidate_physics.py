@@ -10,7 +10,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/fluidgym_tpu_jax_cache")
 
 import fluidgym_tpu
 

@@ -21,7 +21,9 @@ run RBC2D-wide-easy-v0     --lanes 30
 run RBC2D-wide-medium-v0   --lanes 30
 run RBC2D-wide-hard-v0     --lanes 30
 run CylinderJet2D-medium-v0 --lanes 10
-run CylinderJet2D-hard-v0   --lanes 10
+# res-48: one impulsive-transient vmapped step can trip the ~2 min TPU
+# per-call watchdog (crashed twice); split the transient into shorter calls
+run CylinderJet2D-hard-v0   --lanes 6 --transient-steps 40 --transient-split 4
 run Airfoil2D-easy-v0      --lanes 10
 run Airfoil2D-medium-v0    --lanes 10
 run Airfoil2D-hard-v0      --lanes 10

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 import fluidgym_tpu
-from fluidgym_tpu.envs.tcf.statistics import VelocityStats
+from fluidgym_tpu.envs.tcf.statistics import TCFAnalysis
+from fluidgym_tpu.solver import sgs
 
 KW = dict(load_initial_domain=False, load_domain_statistics=False,
           randomize_initial_state=False, episode_length=10**9,
@@ -55,20 +56,26 @@ def study(res: int) -> dict:
     geoms = env._geoms
     yc = np.asarray(jax.device_get(geoms[0].centers[1])).mean(axis=(0, 2))
     nu = float(np.asarray(state.viscosity))
-    vs = VelocityStats(yc, nu)
+    # spectra planes near y+ ~ 5 / 15 / 100 (nominal u_tau from env config)
+    planes = sorted({env._get_y_obs_idx(yw) for yw in (5.0, 15.0, 100.0)})
+    vs = TCFAnalysis(yc, nu, lengths=(env._D, env._L), psd_planes=planes,
+                     budgets=True, temporal_corr=True)
+    grad_fn = jax.jit(
+        lambda st: sgs.velocity_gradients(st, env._geoms, env._topo)[0])
 
     for i in range(N_STAT):
         carry, *_ = fn(carry, action)
         if i % STRIDE == 0:
             st = carry[0] if isinstance(carry, tuple) else carry
-            vs.record(st.blocks[0].velocity, st.blocks[0].pressure)
+            vs.record(st.blocks[0].velocity, st.blocks[0].pressure,
+                      grad_fn(st), time=float(i) * env._step_length)
     jax.block_until_ready(jax.tree.leaves(carry)[0])
 
-    prof = vs.profiles()
+    prof = vs.stats.profiles()
     out = {
         "resolution": res,
-        "Re_tau": round(vs.Re_wall, 1),
-        "u_tau": round(vs.u_wall, 5),
+        "Re_tau": round(vs.stats.Re_wall, 1),
+        "u_tau": round(vs.stats.u_wall, 5),
         "u'+_max": round(float(prof["u'+"].max()), 3),
         "U+_centerline": round(float(prof["U+"][len(yc) // 2]), 2),
     }
@@ -76,8 +83,13 @@ def study(res: int) -> dict:
     dns = {"Re_tau": 180.0, "u'+_max": 2.70, "U+_centerline": 18.3}
     out["dns_gap_pct"] = {
         k: round(100.0 * (out[k] - v) / v, 1) for k, v in dns.items()}
-    stats_path = REPO / f"tcf_stats_res{res}.npz"
+    stats_path = REPO / f"tcf_stats_res{res}"
     vs.save(stats_path)
+    for plot in ("spectra", "budgets", "temporal_correlation"):
+        try:
+            getattr(vs, f"plot_{plot}")(REPO / f"tcf_{plot}_res{res}")
+        except Exception as e:  # plots are best-effort on long TPU runs
+            print(f"  plot {plot} failed: {e}", flush=True)
     out["stats_file"] = str(stats_path)
     print(json.dumps(out), flush=True)
     return out

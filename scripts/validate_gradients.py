@@ -25,7 +25,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/fluidgym_tpu_jax_cache")
 
 import jax.numpy as jnp
 import numpy as np

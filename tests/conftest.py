@@ -28,10 +28,9 @@ import pytest
 # this takes effect as long as no backend has been initialized yet.
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compilation cache: the heavy PISO-step compilations are reused
-# across test sessions
-jax.config.update("jax_compilation_cache_dir", "/tmp/fluidgym_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persistent compilation cache: importing fluidgym_tpu configures a
+# machine-keyed cache dir (stale XLA:CPU AOT entries from another host are
+# SIGILL risks); no explicit override here.
 
 assert jax.default_backend() == "cpu", (
     "tests must run on the host CPU backend (the TPU is single-tenant and "
