@@ -29,8 +29,8 @@ WARM_STEPS = 6
 MEASURE_STEPS = 10
 
 
-def run(env_id: str, use_mg: bool):
-    env = fluidgym_tpu.make(env_id, **KW)
+def run(env_id: str, use_mg: bool, extra_kw=None):
+    env = fluidgym_tpu.make(env_id, **KW, **(extra_kw or {}))
     if use_mg:
         orig = env._get_simulation
         env._get_simulation = lambda: dataclasses.replace(
@@ -61,13 +61,24 @@ def run(env_id: str, use_mg: bool):
 
 
 if __name__ == "__main__":
-    ids = sys.argv[1:] or ["CylinderJet3D-easy-v0", "RBC3D-easy-v0"]
-    for env_id in ids:
-        out = {"env": env_id}
+    # args: env ids, optionally suffixed with kwargs, e.g.
+    #   CylinderJet2D-easy-v0,resolution=56
+    ids = sys.argv[1:] or ["CylinderJet3D-easy-v0", "RBC3D-easy-v0",
+                           "CylinderJet2D-easy-v0,resolution=56"]
+    for spec in ids:
+        env_id, *kw_items = spec.split(",")
+        extra = {}
+        for item in kw_items:
+            k, _, v = item.partition("=")
+            try:
+                extra[k] = eval(v)  # noqa: S307 -- operator-supplied CLI
+            except Exception:
+                extra[k] = v
+        out = {"env": spec}
         for mg in (False, True):
             key = "mg" if mg else "jacobi"
             try:
-                out[key] = run(env_id, mg)
+                out[key] = run(env_id, mg, extra)
             except Exception as e:
                 out[key] = f"ERROR: {str(e)[:200]}"
         print(json.dumps(out), flush=True)
