@@ -47,6 +47,14 @@ class BatchedFluidEnv:
         batch slot, its step returns the first observation of the new episode,
         and the final observation is reported in
         ``info["final_observation"]``.
+    lockstep_chunk : optional sub-batch size.  A lockstep batch pays the
+        max-over-lanes Krylov iteration count of EVERY adaptive substep, so
+        per-env throughput collapses for very large batches (measured on the
+        res-24 cylinder: peak total throughput at batch 128, halving by 512).
+        With ``lockstep_chunk=c`` the batch steps as ``n_envs / c``
+        independent lockstep groups inside one jitted ``lax.scan`` — each
+        group only waits for its own worst lane.  Must divide ``n_envs``;
+        per-env physics is unchanged (per-lane convergence masking).
     env_kwargs : forwarded to ``make``.
     """
 
@@ -56,12 +64,25 @@ class BatchedFluidEnv:
         n_envs: int,
         mesh: "jax.sharding.Mesh | None" = None,
         auto_reset: bool = True,
+        lockstep_chunk: int | None = None,
         **env_kwargs: Any,
     ):
         self.env_id = env_id
         self.n_envs = int(n_envs)
         self.mesh = mesh
         self.auto_reset = bool(auto_reset)
+        self.lockstep_chunk = None if lockstep_chunk is None \
+            else int(lockstep_chunk)
+        if self.lockstep_chunk is not None:
+            if self.lockstep_chunk <= 0 or self.n_envs % self.lockstep_chunk:
+                raise ValueError(
+                    f"lockstep_chunk={lockstep_chunk} must be a positive "
+                    f"divisor of n_envs={n_envs}")
+            if mesh is not None:
+                raise ValueError(
+                    "lockstep_chunk and mesh sharding are mutually exclusive "
+                    "(shard the batch axis instead: each shard is already an "
+                    "independent lockstep group)")
         # prototype env supplies spaces, config, geometry, and the pure step
         self.env = make(env_id, **env_kwargs)
         self._bstate = None
@@ -105,6 +126,25 @@ class BatchedFluidEnv:
 
     def close(self) -> None:
         self._bstate = None
+
+    # ------------------------------------------------------------------
+    def _batched_step_fn(self, pure_step):
+        """jit(vmap(pure_step)), optionally scanned over lockstep chunks."""
+        vstep = jax.vmap(pure_step)
+        c = self.lockstep_chunk
+        if c is None or c >= self.n_envs:
+            return jax.jit(vstep)
+        n_chunks = self.n_envs // c
+
+        def chunked(bstate, actions):
+            split = lambda x: x.reshape((n_chunks, c) + x.shape[1:])
+            merge = lambda x: x.reshape((n_chunks * c,) + x.shape[2:])
+            xs = (jax.tree.map(split, bstate), jax.tree.map(split, actions))
+            _, out = jax.lax.scan(
+                lambda _, sa: (None, vstep(*sa)), None, xs)
+            return jax.tree.map(merge, out)
+
+        return jax.jit(chunked)
 
     # ------------------------------------------------------------------
     def _shard(self, tree):
@@ -165,7 +205,8 @@ class BatchedFluidEnv:
                 (self.n_envs, self.n_agents) + tuple(self.env.action_space.shape)
             )
             if self._jit_marl_step is None:
-                self._jit_marl_step = jax.jit(jax.vmap(self.env._pure_step_marl))
+                self._jit_marl_step = self._batched_step_fn(
+                    self.env._pure_step_marl)
             self._bstate, obs, rewards, info = self._jit_marl_step(
                 self._bstate, actions
             )
@@ -173,7 +214,7 @@ class BatchedFluidEnv:
             rewards = rewards.reshape(-1)
         else:
             if self._jit_step is None:
-                self._jit_step = jax.jit(jax.vmap(self.env._pure_step))
+                self._jit_step = self._batched_step_fn(self.env._pure_step)
             self._bstate, obs, rewards, info = self._jit_step(self._bstate, actions)
             if rewards.ndim == 2 and rewards.shape[1] == 1:
                 rewards = rewards[:, 0]

@@ -65,9 +65,45 @@ def main() -> None:
         rows[batch] = round(batch / dt, 2)
         print(f"batch {batch}: {rows[batch]} env-steps/s", flush=True)
 
+    # chunked lockstep (BatchedFluidEnv lockstep_chunk): independent groups
+    # of 128 inside one scanned program -- each group waits only for its own
+    # worst lane
+    chunk_rows = {}
+    for batch in (b for b in BATCHES if b > 128):
+        n_chunks = batch // 128
+        vstep = jax.vmap(env._pure_step)
+
+        def chunked(bstate, actions):
+            split = lambda x: x.reshape((n_chunks, 128) + x.shape[1:])
+            merge = lambda x: x.reshape((batch,) + x.shape[2:])
+            xs = (jax.tree.map(split, bstate), jax.tree.map(split, actions))
+            _, out = jax.lax.scan(lambda _, sa: (None, vstep(*sa)), None, xs)
+            return jax.tree.map(merge, out)
+
+        cfn = jax.jit(chunked)
+        bcarry = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (batch,) + a.shape), carry)
+        rng = np.random.default_rng(0)
+        c = bcarry
+        for _ in range(4):
+            a = jnp.asarray(rng.uniform(-1, 1, (batch, 1)), jnp.float32)
+            c, *_ = cfn(c, a)
+        a0 = jnp.zeros((batch, 1), jnp.float32)
+        c, *_ = cfn(c, a0)
+        jax.block_until_ready(jax.tree.leaves(c)[0])
+        t0 = time.perf_counter()
+        for _ in range(N_MEASURE):
+            c, *_ = cfn(c, a0)
+        jax.block_until_ready(jax.tree.leaves(c)[0])
+        dt = (time.perf_counter() - t0) / N_MEASURE
+        chunk_rows[batch] = round(batch / dt, 2)
+        print(f"batch {batch} (chunk 128): {chunk_rows[batch]} env-steps/s",
+              flush=True)
+
     per_env = {b: round(v / b, 3) for b, v in rows.items()}
     print(json.dumps({"env_steps_per_sec": rows,
-                      "per_env_steps_per_sec": per_env}))
+                      "per_env_steps_per_sec": per_env,
+                      "chunk128_env_steps_per_sec": chunk_rows}))
 
 
 if __name__ == "__main__":

@@ -14,6 +14,14 @@ run() {
     || echo "!!! FAILED: $*" >> "$LOG"
 }
 
+# ---- phase 0: one-shot measurements queued ahead of dataset work ----------
+if [ ! -e /tmp/batch_curve_chunked.done ]; then
+  echo "=== $(date +%H:%M:%S) batch_curve (chunked) ===" >> "$LOG"
+  timeout 2400 python -u scripts/batch_curve.py >> "$LOG" 2>&1 \
+    && touch /tmp/batch_curve_chunked.done \
+    || echo "!!! FAILED: batch_curve chunked" >> "$LOG"
+fi
+
 # ---- phase A: 2D (RBC restart=True -> 30 lockstep lanes; others 10) -------
 run RBC2D-medium-v0        --lanes 30
 run RBC2D-hard-v0          --lanes 30

@@ -135,3 +135,27 @@ def test_batched_auto_reset_off():
     obs, rew, term, trunc, info = benv.step(jnp.zeros((2, nact), jnp.float32))
     assert trunc.all()
     assert "final_observation" not in info
+
+
+def test_lockstep_chunk_matches_unchunked():
+    """Chunked stepping is a pure scheduling change: rewards and states match
+    the single lockstep batch bit-for-bit (same per-lane masked solves)."""
+    kw = dict(DEV_KW, episode_length=10**9)
+    full = BatchedFluidEnv("RBC2D-easy-v0", n_envs=4, **kw)
+    chunked = BatchedFluidEnv("RBC2D-easy-v0", n_envs=4, lockstep_chunk=2,
+                              **kw)
+    obs_f, _ = full.reset(seed=0)
+    obs_c, _ = chunked.reset(seed=0)
+    actions = np.stack([np.asarray(full.env.sample_action())
+                        for _ in range(4)])
+    for _ in range(2):
+        obs_f, r_f, *_ = full.step(actions)
+        obs_c, r_c, *_ = chunked.step(actions)
+    np.testing.assert_array_equal(np.asarray(r_f), np.asarray(r_c))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), full._bstate, chunked._bstate)
+
+
+def test_lockstep_chunk_validation():
+    with pytest.raises(ValueError, match="divisor"):
+        BatchedFluidEnv("RBC2D-easy-v0", n_envs=4, lockstep_chunk=3, **DEV_KW)
