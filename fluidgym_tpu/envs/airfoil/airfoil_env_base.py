@@ -499,11 +499,10 @@ class AirfoilEnvBase(WallForcesMixin, FluidEnv):
         if "last_control" in info:
             self._last_control = info["last_control"]
 
-    def _load_domain_statistics(self):
-        stats = super()._load_domain_statistics()
-        if "vorticity_magnitude" in stats:
-            self._vorticity_stats = Stats(**stats["vorticity_magnitude"])
-        return stats
+    def _load_domain_statistics(self) -> None:
+        super()._load_domain_statistics()
+        if "vorticity_magnitude" in self._metrics_stats:
+            self._vorticity_stats = self._metrics_stats["vorticity_magnitude"]
 
     def _pure_carry(self):
         return (self._state, self._last_control)
