@@ -1,0 +1,502 @@
+"""Batch-resident fused CG over MERGED multi-block domains.
+
+``ops/cg_pallas.py`` keeps a whole lockstep batch of single-block pressure
+solves resident in VMEM.  Multi-block O-grids (the flagship cylinder envs)
+could not use it: their CONNECTED seams need transposed halo gathers that a
+roll-form kernel cannot express.  ``solver/block_merge.merge_plan``
+removes that obstacle: it rewrites the topology into a few axis-aligned
+super-blocks (cylinder = closed annulus + wake) whose operator is an exact
+permutation ``P A P^T`` of the original -- in-super-block coupling becomes
+plain rolls (ring closures wrap), and the few residual seams become STATIC
+windowed slab corrections.
+
+This kernel is the resident solver for that merged form: every super-block
+field (x, r, p, coefficients) of every lane lives in VMEM for the entire
+Krylov loop; the matvec is per-super-block rolls plus ``plan.fixups``
+seam corrections (static slices -- no gathers, no transposes); the dot
+products reduce jointly across super-blocks and never leave the chip.
+
+Batching follows cg_pallas: a ``jax.custom_batching.custom_vmap`` rule folds
+the env batch onto an in-kernel lane axis (vmap of a pallas_call would
+serialize lanes), chunked to the VMEM budget.  Unlike the single-block
+kernel, chunks SMALLER than 8 lanes are allowed when the per-lane working
+set is large (a 70k-cell lane saturates the VPU on its own -- the 8-lane
+floor exists for the tiny-lane regime where serialization measured 0.56x).
+
+Semantics match ``solver/linsolve.cg`` exactly (NORM2_NORMALIZED over the
+TOTAL cell count, Jacobi preconditioning, warm start, stall patience,
+per-lane freeze, true-residual refresh, return-best).  Reference analogue:
+the fused CUDA CG in
+``/root/reference/src/fluidgym/simulation/extensions/cg_solver_kernel.cu``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fluidgym_tpu.ops.cg_pallas import (_VMEM_BUDGET_BYTES, _lane_sum)
+from fluidgym_tpu.solver.block_merge import (MergePlan, _array_axis,
+                                             _face_slab_idx)
+from fluidgym_tpu.solver.linsolve import SolveInfo
+
+Array = jax.Array
+
+__all__ = ["fused_cg_mb_eligible", "fused_cg_mb", "set_fused_cg_mb",
+           "fused_cg_mb_enabled"]
+
+_MB_MODE = False  # opt-in until the TPU A/B (scripts/merged_cg_ab.py) lands
+
+
+def set_fused_cg_mb(enabled: bool) -> None:
+    """Enable/disable routing merged multi-block pressure solves through the
+    resident kernel (solver/piso._fused_cg_mb_plan consults this)."""
+    global _MB_MODE
+    _MB_MODE = bool(enabled)
+
+
+def fused_cg_mb_enabled() -> bool:
+    import os
+
+    env = os.environ.get("FLUIDGYM_TPU_FUSED_CG_MB", "").strip().lower()
+    if env in ("0", "false", "off"):
+        return False
+    if env in ("1", "true", "on"):
+        return True
+    return _MB_MODE
+
+#: Minimum total (padded) cells per lane for sub-8-lane chunks: one big lane
+#: keeps the VPU busy by itself, so residency wins even without lane packing.
+_BIG_LANE_CELLS = 16384
+
+
+def _padded_cells(shape: tuple[int, ...]) -> int:
+    padded = list(shape)
+    padded[-1] = -(-padded[-1] // 128) * 128
+    if len(padded) >= 2:
+        padded[-2] = -(-padded[-2] // 8) * 8
+    return int(np.prod(padded))
+
+
+def _sb_array_shape(plan: MergePlan, s: int) -> tuple[int, ...]:
+    """Array shape of super-block ``s`` (axes ordered major..minor = axis0
+    minor, matching block_merge.pack_fields)."""
+    nd = plan.ndims
+    return tuple(plan.superblocks[s].shape[D] for D in range(nd - 1, -1, -1))
+
+
+def _lane_bytes(plan: MergePlan, dtype) -> int:
+    # per super-block residents: b, diag, 2*nd offs, x0, x, r, p, best, Av
+    # + Mosaic expression temporaries (the materialized Av scratch replaces
+    # one of cg_pallas's five calibrated temporaries, so the total matches)
+    n_arrays = 12 + 2 * plan.ndims
+    cells = sum(_padded_cells(_sb_array_shape(plan, s))
+                for s in range(len(plan.superblocks)))
+    return cells * jnp.dtype(dtype).itemsize * n_arrays
+
+
+def _max_lanes(plan: MergePlan, dtype) -> int:
+    n = max(1, _VMEM_BUDGET_BYTES // _lane_bytes(plan, dtype))
+    return (n // 8) * 8 if n >= 8 else n
+
+
+def fused_cg_mb_eligible(plan: MergePlan | None, dtype) -> bool:
+    """One lane must fit VMEM, and lanes must either chunk by >=8 or be
+    individually big enough to keep the VPU busy."""
+    if plan is None or plan.ndims not in (2, 3):
+        return False
+    # tile padding burns VPU work: bound the AGGREGATE waste instead of
+    # rejecting per-array minor widths (the cylinder ring packs as (96, 37)
+    # -> (96, 128), a 3.5x pad on the SMALLER of its two arrays, but only
+    # 1.6x overall -- still far cheaper than per-iteration HBM streaming)
+    padded = sum(_padded_cells(_sb_array_shape(plan, s))
+                 for s in range(len(plan.superblocks)))
+    live = sum(int(np.prod(_sb_array_shape(plan, s)))
+               for s in range(len(plan.superblocks)))
+    if padded > 3 * live:
+        return False
+    if _lane_bytes(plan, dtype) > _VMEM_BUDGET_BYTES:
+        return False
+    if _max_lanes(plan, dtype) < 8:
+        total = sum(_padded_cells(_sb_array_shape(plan, s))
+                    for s in range(len(plan.superblocks)))
+        return total >= _BIG_LANE_CELLS
+    return True
+
+
+def _slab(plan: MergePlan, s: int, face: int, window) -> tuple:
+    """Static index tuple (with a leading lane axis) of a face slab."""
+    idx = _face_slab_idx(plan.ndims, face, window,
+                         plan.superblocks[s].shape)
+    return (slice(None),) + idx
+
+
+def _mb_matvec_into(out_refs, plan: MergePlan, diags, offs, xs):
+    """Merged matvec WRITTEN INTO scratch refs: per-super-block roll stencil,
+    then static seam-fixup corrections as ref slab read-modify-writes (Mosaic
+    lowers neither scatter-add nor dynamic_update_slice on values, but ref
+    stores with constant slices lower fine).  Mirrors
+    block_merge.merged_apply, which is verified against stencil.domain_apply
+    at plan build time.  Returns the matvec values re-read from the refs."""
+    nd = plan.ndims
+    nf = 2 * nd
+    for s in range(len(plan.superblocks)):
+        x = xs[s]
+        y = diags[s] * x
+        for f in range(nf):
+            d = f // 2
+            ax = x.ndim - 1 - d
+            shift = 1 if f % 2 == 0 else x.shape[ax] - 1
+            y = y + offs[s][f] * pltpu.roll(x, shift, axis=ax)
+        out_refs[s][:] = y
+    for fx in plan.fixups:
+        slab = _slab(plan, fx.sb, fx.face, fx.window)
+        src_slab = _slab(plan, fx.src_sb, fx.src_face, fx.src_window)
+        wrap_slab = _slab(plan, fx.sb, fx.face ^ 1, fx.window)
+        src = xs[fx.src_sb][src_slab]
+        for K in range(nd):
+            if fx.flip[K]:
+                src = jnp.flip(src, axis=1 + _array_axis(nd, K))
+        delta = offs[fx.sb][fx.face][slab] * (src - xs[fx.sb][wrap_slab])
+        out_refs[fx.sb][slab] = out_refs[fx.sb][slab] + delta
+    return [r[:] for r in out_refs]
+
+
+def _np_roll_matvec(plan: MergePlan, diags, offs, xs):
+    """XLA-land twin of _mb_matvec (jnp.roll instead of pltpu.roll) for the
+    small-lane fallback loop."""
+    nd = plan.ndims
+    nf = 2 * nd
+    ys = []
+    for s in range(len(plan.superblocks)):
+        x = xs[s]
+        y = diags[s] * x
+        for f in range(nf):
+            d = f // 2
+            ax = x.ndim - 1 - d
+            y = y + offs[s][f] * jnp.roll(x, 1 if f % 2 == 0 else -1, axis=ax)
+        ys.append(y)
+    for fx in plan.fixups:
+        # lane axis absent on this path (per-lane vmap)
+        slab = _face_slab_idx(nd, fx.face, fx.window,
+                              plan.superblocks[fx.sb].shape)
+        src_slab = _face_slab_idx(nd, fx.src_face, fx.src_window,
+                                  plan.superblocks[fx.src_sb].shape)
+        wrap_slab = _face_slab_idx(nd, fx.face ^ 1, fx.window,
+                                   plan.superblocks[fx.sb].shape)
+        src = xs[fx.src_sb][src_slab]
+        for K in range(nd):
+            if fx.flip[K]:
+                src = jnp.flip(src, axis=_array_axis(nd, K))
+        delta = offs[fx.sb][fx.face][slab] * (src - xs[fx.sb][wrap_slab])
+        ys[fx.sb] = ys[fx.sb].at[slab].add(delta)
+    return ys
+
+
+def _kernel(plan: MergePlan, *refs, tol2_sum: float, maxiter: int,
+            stall_iters: int, precondition: bool, return_best: bool,
+            warm_start: bool):
+    """All refs carry a leading lane axis.  Ref layout per super-block s:
+    inputs  [b_s, diag_s, off_s(2*nd refs), x0_s], then outputs
+    [x_s...]*S + [iters, rs], then scratch [r_s, p_s, best_s]*S."""
+    nd = plan.ndims
+    nf = 2 * nd
+    S = len(plan.superblocks)
+    per_in = 3 + nf
+    b_refs = [refs[s * per_in] for s in range(S)]
+    diag_refs = [refs[s * per_in + 1] for s in range(S)]
+    off_refs = [refs[s * per_in + 2:s * per_in + 2 + nf] for s in range(S)]
+    x0_refs = [refs[s * per_in + 2 + nf] for s in range(S)]
+    base = S * per_in
+    x_out = list(refs[base:base + S])
+    iters_ref, rs_ref = refs[base + S], refs[base + S + 1]
+    scr = refs[base + S + 2:]
+    r_refs = list(scr[0:S])
+    p_refs = list(scr[S:2 * S])
+    best_refs = list(scr[2 * S:3 * S])
+    av_refs = list(scr[3 * S:4 * S])
+
+    dt = b_refs[0].dtype
+    diags = [d[:] for d in diag_refs]
+    offs = [[o[:] for o in off_refs[s]] for s in range(S)]
+    bs = [b[:] for b in b_refs]
+    tiny = jnp.asarray(1e-30, dt)
+    inv_diags = ([jnp.asarray(1.0, dt) / d for d in diags]
+                 if precondition else None)
+
+    def joint(parts):
+        out = parts[0]
+        for pp in parts[1:]:
+            out = out + pp
+        return out
+
+    if warm_start:
+        x0s = [x[:] for x in x0_refs]
+        Ax0 = _mb_matvec_into(av_refs, plan, diags, offs, x0s)
+        rs_f = [b - a for b, a in zip(bs, Ax0)]
+        for s in range(S):
+            x_out[s][:] = x0s[s]
+    else:
+        rs_f = bs
+        for s in range(S):
+            x_out[s][:] = jnp.zeros_like(bs[s])
+    zs = ([iv * r for iv, r in zip(inv_diags, rs_f)]
+          if precondition else rs_f)
+    for s in range(S):
+        r_refs[s][:] = rs_f[s]
+        p_refs[s][:] = zs[s]
+        best_refs[s][:] = x_out[s][:]
+    rz0 = joint([_lane_sum(r * z) for r, z in zip(rs_f, zs)]).astype(dt)
+    rs0 = joint([_lane_sum(r * r) for r in rs_f]).astype(dt)
+
+    tol2 = jnp.asarray(tol2_sum, dt)
+    zero = jnp.asarray(0, dt)
+
+    def cond(carry):
+        it, rz, rsum, best_rs, best_it = carry
+        active = jnp.logical_and(rsum > tol2, it - best_it < stall_iters)
+        return jnp.logical_and(it < maxiter, jnp.any(active))
+
+    def body(carry):
+        it, rz, rsum, best_rs, best_it = carry
+        xs = [x[:] for x in x_out]
+        ps = [p[:] for p in p_refs]
+        done = jnp.logical_or(rsum <= tol2, it - best_it >= stall_iters)
+        recompute = (it + 1) % 100 == 0
+        # one matvec per iteration: A@p normally, A@x on the maintenance
+        # iteration that refreshes the true residual (linsolve.cg parity)
+        Av = _mb_matvec_into(av_refs, plan, diags, offs,
+                              [jnp.where(recompute, x, p)
+                               for x, p in zip(xs, ps)])
+        denom = joint([_lane_sum(p * a)
+                       for p, a in zip(ps, Av)]).astype(dt)
+        alpha = jnp.where(
+            jnp.logical_or(done, recompute), zero,
+            rz / jnp.where(jnp.abs(denom) < tiny, tiny, denom))
+        xs = [x + alpha * p for x, p in zip(xs, ps)]
+        for s in range(S):
+            x_out[s][:] = xs[s]
+        rs_new_f = [jnp.where(recompute, b - a, r[:] - alpha * a)
+                    for b, a, r in zip(bs, Av, r_refs)]
+        for s in range(S):
+            r_refs[s][:] = rs_new_f[s]
+        zs = ([iv * r for iv, r in zip(inv_diags, rs_new_f)]
+              if precondition else rs_new_f)
+        rz_new = joint([_lane_sum(r * z)
+                        for r, z in zip(rs_new_f, zs)]).astype(dt)
+        rsum_new = joint([_lane_sum(r * r) for r in rs_new_f]).astype(dt)
+        beta = jnp.where(
+            done, zero, rz_new / jnp.where(jnp.abs(rz) < tiny, tiny, rz))
+        for s in range(S):
+            p_refs[s][:] = zs[s] + beta * ps[s]
+        better = jnp.logical_and(rsum_new < best_rs, jnp.logical_not(done))
+        if return_best:
+            for s in range(S):
+                best_refs[s][:] = jnp.where(better, xs[s], best_refs[s][:])
+        best_rs = jnp.where(better, rsum_new, best_rs)
+        best_it = jnp.where(better, it + 1, best_it)
+        return it + 1, rz_new, rsum_new, best_rs, best_it
+
+    it0 = jnp.asarray(0, jnp.int32)
+    best_it0 = jnp.zeros_like(rz0, jnp.int32)
+    it, rz, rsum, best_rs, _ = jax.lax.while_loop(
+        cond, body, (it0, rz0, rs0, rs0, best_it0))
+
+    converged = rsum <= tol2
+    if return_best:
+        for s in range(S):
+            x_out[s][:] = jnp.where(converged, x_out[s][:], best_refs[s][:])
+        rsum = jnp.where(converged, rsum, best_rs)
+    iters_ref[:] = jnp.broadcast_to(
+        jnp.full_like(rsum, it, dtype=jnp.int32), bs[0].shape)
+    rs_ref[:] = jnp.broadcast_to(rsum, bs[0].shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _lane_solver(plan: MergePlan, tol2_sum: float, maxiter: int,
+                 stall_iters: int, precondition: bool, return_best: bool,
+                 warm_start: bool, interpret: bool):
+    """(lanes, *spatial)-per-super-block lockstep solver with the custom_vmap
+    lane-folding rule (cg_pallas._lane_solver generalized to S arrays).
+
+    Flat argument convention (custom_vmap needs positional arrays):
+    ``solve(*args)`` with args = [b_s, diag_s, off_s0..off_s{nf-1}, x0_s]
+    repeated for each super-block s."""
+    nd = plan.ndims
+    nf = 2 * nd
+    S = len(plan.superblocks)
+    per = 3 + nf
+
+    def _split(args):
+        bs = [args[s * per] for s in range(S)]
+        diags = [args[s * per + 1] for s in range(S)]
+        offs = [list(args[s * per + 2:s * per + 2 + nf]) for s in range(S)]
+        x0s = [args[s * per + 2 + nf] for s in range(S)]
+        return bs, diags, offs, x0s
+
+    def call_kernel(args):
+        bs, diags, offs, x0s = _split(args)
+        lane_shape = bs[0].shape[:1]
+        kernel = functools.partial(
+            _kernel, plan, tol2_sum=tol2_sum, maxiter=maxiter,
+            stall_iters=stall_iters, precondition=precondition,
+            return_best=return_best, warm_start=warm_start)
+        n_in = S * per
+        out_shape = tuple(
+            jax.ShapeDtypeStruct(b.shape, b.dtype) for b in bs
+        ) + (
+            jax.ShapeDtypeStruct(bs[0].shape, jnp.int32),
+            jax.ShapeDtypeStruct(bs[0].shape, bs[0].dtype),
+        )
+        scratch = [pltpu.VMEM(b.shape, b.dtype) for b in bs] * 4
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                            for _ in range(S + 2)),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*args)
+        return list(outs[:S]), outs[S], outs[S + 1]
+
+    def xla_loop_lanes(args):
+        """Small-lane fallback: vmapped XLA CG over the merged roll+fixup
+        operator (same operator, per-iteration HBM streaming)."""
+        from fluidgym_tpu.solver import linsolve
+
+        n_total = sum(int(np.prod(_sb_array_shape(plan, s)))
+                      for s in range(S))
+        tol = float(np.sqrt(tol2_sum / n_total))
+
+        def one(*args1):
+            bs, diags, offs, x0s = _split(args1)
+
+            def mv(xs):
+                return tuple(_np_roll_matvec(plan, diags, offs, list(xs)))
+
+            precond = ((lambda rr: tuple(r / d for r, d in zip(rr, diags)))
+                       if precondition else None)
+            x, info = linsolve.cg(
+                mv, tuple(bs), x0=tuple(x0s) if warm_start else None,
+                tol=tol, maxiter=maxiter, return_best=return_best,
+                precond=precond, stall_iters=stall_iters)
+            rs = (info.residual.astype(bs[0].dtype) ** 2) * n_total
+            return tuple(x) + (info.iterations, rs)
+
+        outs = jax.vmap(one)(*args)
+        xs = list(outs[:S])
+        iters, rs = outs[S], outs[S + 1]
+        expand = lambda a: a.reshape((a.shape[0],) + (1,) * nd)
+        full = lambda a, ref: jnp.broadcast_to(expand(a), ref.shape)
+        return (xs, full(iters, xs[0]).astype(jnp.int32), full(rs, xs[0]))
+
+    def solve_lanes(args):
+        lanes = args[0].shape[0]
+        dtype = args[0].dtype
+        chunk = min(lanes, _max_lanes(plan, dtype))
+        total_cells = sum(_padded_cells(_sb_array_shape(plan, s))
+                          for s in range(S))
+        if (chunk < min(lanes, 8)) and total_cells < _BIG_LANE_CELLS:
+            return xla_loop_lanes(args)
+        if chunk >= lanes:
+            return call_kernel(args)
+        n_chunks = -(-lanes // chunk)
+        pad = n_chunks * chunk - lanes
+
+        def chunked(a, is_diag):
+            if pad:
+                fill = jnp.ones if (is_diag and precondition) else jnp.zeros
+                a = jnp.concatenate(
+                    [a, fill((pad,) + a.shape[1:], a.dtype)], axis=0)
+            return a.reshape((n_chunks, chunk) + a.shape[1:])
+
+        cargs = tuple(chunked(a, i % per == 1)
+                      for i, a in enumerate(args))
+
+        def one_chunk(aa):
+            xs, iters, rs = call_kernel(list(aa))
+            return tuple(xs) + (iters, rs)
+
+        outs = jax.lax.map(one_chunk, cargs)
+        unchunk = lambda a: a.reshape(
+            (n_chunks * chunk,) + a.shape[2:])[:lanes]
+        xs = [unchunk(o) for o in outs[:S]]
+        return xs, unchunk(outs[S]), unchunk(outs[S + 1])
+
+    def _lane_stat(a):
+        return a.reshape(a.shape[0], -1)[:, 0]
+
+    @jax.custom_batching.custom_vmap
+    def solve(*args):
+        xs, iters, rs = call_kernel([a[None] for a in args])
+        return (tuple(x[0] for x in xs)
+                + (_lane_stat(iters)[0], _lane_stat(rs)[0]))
+
+    @solve.def_vmap
+    def _vmap_rule(axis_size, in_batched, *args):
+        def bcast(a, is_b):
+            return a if is_b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+
+        args = [bcast(a, f) for a, f in zip(args, in_batched)]
+        xs, iters, rs = solve_lanes(args)
+        out = tuple(xs) + (_lane_stat(iters), _lane_stat(rs))
+        return out, tuple(True for _ in out)
+
+    return solve
+
+
+def fused_cg_mb(
+    plan: MergePlan,
+    diags,
+    offs,
+    bs,
+    x0s=None,
+    *,
+    tol: float,
+    maxiter: int = 5000,
+    stall_iters: int = 250,
+    precondition: bool = True,
+    return_best: bool = True,
+    interpret: bool = False,
+) -> tuple[tuple[Array, ...], SolveInfo]:
+    """Whole-solve lockstep CG on a merged multi-block stencil operator.
+
+    ``diags``/``offs``/``bs``/``x0s`` are per-super-block tuples in
+    ``block_merge.pack_ops`` / ``pack_fields`` layout (``offs[s]`` has
+    shape ``(2*ndims, *spatial_s)``).  Returns ``(xs, SolveInfo)`` with
+    linsolve.cg semantics.  Safe under one level of ``jax.vmap``.
+    """
+    S = len(plan.superblocks)
+    dt = bs[0].dtype
+    n = sum(b.size for b in bs)
+    tol2_sum = float(tol) * float(tol) * n
+    warm = x0s is not None
+    x0s_in = list(bs) if x0s is None else list(x0s)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+
+    solver = _lane_solver(plan, tol2_sum, int(maxiter), int(stall_iters),
+                          bool(precondition), bool(return_best), warm,
+                          bool(interpret))
+    nf = 2 * plan.ndims
+    args = []
+    for s in range(S):
+        args.append(bs[s])
+        args.append(diags[s])
+        args.extend(offs[s][f] for f in range(nf))
+        args.append(x0s_in[s])
+    outs = solver(*args)
+    xs, iters, rs = list(outs[:S]), outs[S], outs[S + 1]
+
+    b_zero = jnp.all(jnp.stack([jnp.all(b == 0) for b in bs]))
+    xs = tuple(jnp.where(b_zero, jnp.zeros_like(x), x) for x in xs)
+    converged = jnp.logical_or(rs <= jnp.asarray(tol2_sum, dt), b_zero)
+    info = SolveInfo(converged=converged, iterations=iters,
+                     residual=jnp.sqrt(rs / n))
+    return xs, info

@@ -254,6 +254,28 @@ def _fused_cg_usable(ops, topo: DomainTopo, coarse_fn) -> bool:
                 topo.blocks[0].shape, topo.ndims, ops[0].diag.dtype))
 
 
+def _fused_cg_mb_plan(ops, topo: DomainTopo, coarse_fn):
+    """Dispatch gate for the MERGED-frame fused CG (ops/cg_pallas_mb.py):
+    multi-block topologies whose merge plan (solver/block_merge.py) exists
+    and fits VMEM route the whole pressure solve through the resident
+    kernel in the super-block frame.  Returns the MergePlan or None."""
+    from fluidgym_tpu.ops import cg_pallas, cg_pallas_mb
+    from fluidgym_tpu.solver import block_merge
+
+    if coarse_fn is not None or len(topo.blocks) < 2:
+        return None
+    if ops[0].diag.ndim != topo.ndims:  # channel axes take the XLA path
+        return None
+    if not (cg_pallas.fused_cg_enabled()
+            and cg_pallas_mb.fused_cg_mb_enabled()):
+        return None
+    plan = block_merge.merge_plan(topo)
+    if plan is None or not cg_pallas_mb.fused_cg_mb_eligible(
+            plan, ops[0].diag.dtype):
+        return None
+    return plan
+
+
 def _posthoc_info(mv, b, x, tol) -> linsolve.SolveInfo:
     """Convergence metadata recomputed from the returned iterate (used on the
     ``custom_linear_solve`` path, whose inner solve cannot surface aux data).
@@ -323,6 +345,25 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
     if symmetric and not use_bicg:
         fused = (precond_override is None
                  and _fused_cg_usable(ops, topo, coarse_fn))
+        mplan = None
+        if not fused and precond_override is None:
+            mplan = _fused_cg_mb_plan(ops, topo, coarse_fn)
+
+        def _merged_solve(bb, guess):
+            from fluidgym_tpu.ops import cg_pallas_mb
+            from fluidgym_tpu.solver import block_merge
+
+            mops = block_merge.pack_ops(mplan, ops)
+            xs, inf = cg_pallas_mb.fused_cg_mb(
+                mplan, tuple(m[0] for m in mops),
+                tuple(m[1] for m in mops),
+                block_merge.pack_fields(mplan, bb),
+                x0s=None if guess is None
+                else block_merge.pack_fields(mplan, guess),
+                tol=tol_resolved, maxiter=maxiter,
+                stall_iters=stall_iters, precondition=precondition,
+                return_best=return_best)
+            return tuple(block_merge.unpack_fields(mplan, xs)), inf
 
         if not differentiable:
             guess = x0_fn(b) if x0_fn is not None else x0
@@ -336,6 +377,8 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                     stall_iters=stall_iters, precondition=precondition,
                     return_best=return_best)
                 return (x1,), inf
+            if mplan is not None:
+                return _merged_solve(b, guess)
             return linsolve.cg(mv, b, x0=guess, tol=tol, maxiter=maxiter,
                                return_best=return_best, precond=precond_fn,
                                stall_iters=stall_iters)
@@ -381,6 +424,11 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                     stall_iters=stall_iters, precondition=precondition,
                     return_best=return_best)
                 return (x1,)
+        elif mplan is not None:
+            # black-box inner solver in the merged frame; the
+            # implicit-function VJP (custom_linear_solve) is unchanged
+            def solve_fn(mv_fn, bb):
+                return _merged_solve(bb, diff_guess(mv_fn, bb))[0]
         else:
             def solve_fn(mv_fn, bb):
                 guess = diff_guess(mv_fn, bb)

@@ -1,0 +1,181 @@
+"""Merged-frame fused CG (ops/cg_pallas_mb.py) vs the XLA blockwise solver.
+
+CPU runs the kernel in interpret mode: these tests pin SEMANTICS (solution,
+convergence metadata, vmap lane folding); TPU lowering is exercised by
+scripts/merged_cg_ab.py on hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fluidgym_tpu
+from fluidgym_tpu.ops import cg_pallas_mb as mb
+from fluidgym_tpu.solver import block_merge as bm
+from fluidgym_tpu.solver import linsolve
+from fluidgym_tpu.solver import stencil as st
+
+TOL = 1e-5
+
+
+@pytest.fixture(scope="module")
+def cyl():
+    env = fluidgym_tpu.make(
+        "CylinderJet2D-easy-v0", load_initial_domain=False,
+        load_domain_statistics=False, randomize_initial_state=False)
+    env.reset(seed=0)
+    plan = bm.merge_plan(env._topo)
+    assert plan is not None
+    adv_ops = st.build_advection_ops(
+        env._state, env._geoms, env._topo, env._state.viscosity, env._cfg.dt)
+    adiags = tuple(op.diag for op in adv_ops)
+    ops = st.build_pressure_ops(adiags, env._geoms, env._topo)
+    return env, plan, ops
+
+
+def _rhs(topo, seed=0):
+    """Manufactured in-range RHS for the singular all-Neumann operator."""
+    rng = np.random.default_rng(seed)
+    return tuple(jnp.asarray(rng.standard_normal(bt.shape), jnp.float32)
+                 for bt in topo.blocks)
+
+
+def _solve_ref(ops, topo, b, tol=TOL):
+    def mv(xs):
+        return st.domain_apply(ops, xs, topo)
+
+    b = mv(_rhs(topo, 99)) if b is None else b
+    return linsolve.cg(mv, b, tol=tol, maxiter=4000,
+                       precond=lambda rs: tuple(
+                           r / op.diag for r, op in zip(rs, ops)))
+
+
+def test_eligibility(cyl):
+    env, plan, ops = cyl
+    assert mb.fused_cg_mb_eligible(plan, jnp.float32)
+    assert not mb.fused_cg_mb_eligible(None, jnp.float32)
+
+
+def test_merged_kernel_matches_blockwise_solution(cyl):
+    env, plan, ops = cyl
+    topo = env._topo
+
+    def mv(xs):
+        return st.domain_apply(ops, xs, topo)
+
+    b = mv(_rhs(topo, 7))
+    x_ref, info_ref = _solve_ref(ops, topo, b)
+    assert bool(info_ref.converged)
+
+    mops = bm.pack_ops(plan, ops)
+    diags = tuple(m[0] for m in mops)
+    offs = tuple(m[1] for m in mops)
+    mbs = bm.pack_fields(plan, b)
+    xs, info = mb.fused_cg_mb(plan, diags, offs, mbs, tol=TOL,
+                              maxiter=4000, interpret=True)
+    assert bool(info.converged), info
+    x_got = bm.unpack_fields(plan, xs)
+    # both solve the same singular system: solutions agree up to a constant
+    shift = float(np.asarray(x_got[0]).ravel()[0]
+                  - np.asarray(x_ref[0]).ravel()[0])
+    for g, r in zip(x_got, x_ref):
+        np.testing.assert_allclose(np.asarray(g) - shift, np.asarray(r),
+                                   atol=5e-4)
+    # the returned iterate truly solves the blockwise system
+    res = [np.asarray(bb) - np.asarray(aa)
+           for bb, aa in zip(b, mv(x_got))]
+    n = sum(a.size for a in res)
+    rmse = np.sqrt(sum((a ** 2).sum() for a in res) / n)
+    assert rmse <= 2 * TOL, rmse
+
+
+def test_warm_start_converges_immediately(cyl):
+    env, plan, ops = cyl
+    topo = env._topo
+
+    def mv(xs):
+        return st.domain_apply(ops, xs, topo)
+
+    b = mv(_rhs(topo, 11))
+    x_ref, _ = _solve_ref(ops, topo, b)
+    mops = bm.pack_ops(plan, ops)
+    xs, info = mb.fused_cg_mb(
+        plan, tuple(m[0] for m in mops), tuple(m[1] for m in mops),
+        bm.pack_fields(plan, b), x0s=bm.pack_fields(plan, x_ref),
+        tol=TOL, maxiter=4000, interpret=True)
+    assert bool(info.converged)
+    assert int(info.iterations) <= 3
+
+
+def test_vmap_lane_folding_matches_single(cyl):
+    env, plan, ops = cyl
+    topo = env._topo
+
+    def mv(xs):
+        return st.domain_apply(ops, xs, topo)
+
+    batch = 3
+    bs_list = [mv(_rhs(topo, 20 + i)) for i in range(batch)]
+    mops = bm.pack_ops(plan, ops)
+    diags = tuple(m[0] for m in mops)
+    offs = tuple(m[1] for m in mops)
+
+    def solve_one(mb_fields):
+        xs, info = mb.fused_cg_mb(plan, diags, offs, mb_fields, tol=TOL,
+                                  maxiter=4000, interpret=True)
+        return xs, info.converged, info.iterations
+
+    batched = jax.tree.map(
+        lambda *a: jnp.stack(a), *[bm.pack_fields(plan, b) for b in bs_list])
+    xs_b, conv_b, _ = jax.vmap(solve_one)(batched)
+    assert bool(conv_b.all())
+    for i in range(batch):
+        xs_1, conv_1, _ = solve_one(bm.pack_fields(plan, bs_list[i]))
+        assert bool(conv_1)
+        for s in range(len(plan.superblocks)):
+            a = np.asarray(xs_b[s][i])
+            c = np.asarray(xs_1[s])
+            # same singular system: compare up to the constant mode
+            np.testing.assert_allclose(a - a.mean(), c - c.mean(), atol=5e-4)
+
+
+def test_all_zero_rhs_short_circuits(cyl):
+    env, plan, ops = cyl
+    mops = bm.pack_ops(plan, ops)
+    zeros = tuple(jnp.zeros_like(m[0]) for m in mops)
+    xs, info = mb.fused_cg_mb(
+        plan, tuple(m[0] for m in mops), tuple(m[1] for m in mops),
+        zeros, tol=TOL, maxiter=50, interpret=True)
+    assert bool(info.converged)
+    for x in xs:
+        assert not np.asarray(x).any()
+
+
+def test_piso_solve_routes_through_merged_kernel(cyl):
+    """piso._solve dispatches multi-block pressure solves to the merged
+    kernel when both gates are on, and matches the XLA path."""
+    from fluidgym_tpu.ops import cg_pallas
+    from fluidgym_tpu.solver import piso
+
+    env, plan, ops = cyl
+    topo = env._topo
+    b = st.domain_apply(ops, _rhs(topo, 5), topo)
+    kw = dict(tol=TOL, maxiter=3000, symmetric=True, use_bicg=False,
+              return_best=True, precondition=True, differentiable=False)
+    cg_pallas.set_fused_cg(False)
+    mb.set_fused_cg_mb(False)
+    try:
+        assert piso._fused_cg_mb_plan(ops, topo, None) is None
+        x_ref, inf_ref = piso._solve(ops, b, topo, **kw)
+        cg_pallas.set_fused_cg(True)
+        mb.set_fused_cg_mb(True)
+        assert piso._fused_cg_mb_plan(ops, topo, None) is not None
+        x_m, inf_m = piso._solve(ops, b, topo, **kw)
+    finally:
+        cg_pallas.set_fused_cg("auto")
+        mb.set_fused_cg_mb(False)
+    assert bool(inf_ref.converged) and bool(inf_m.converged)
+    for a, r in zip(x_m, x_ref):
+        a, r = np.asarray(a), np.asarray(r)
+        np.testing.assert_allclose(a - a.mean(), r - r.mean(), atol=5e-4)
