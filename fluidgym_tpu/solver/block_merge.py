@@ -362,8 +362,13 @@ def _build_fixups(topo: DomainTopo, sbs) -> tuple[SeamFixup, ...] | None:
                 return None
             if nbr_edge != (src_ext if CF & 1 else 0):
                 return None
-            if CD != D or (CF & 1) == u:
-                return None  # non-parallel residual seam; not expressible
+            if CD != D:
+                return None  # rotated residual seam; needs a transpose
+            # NOTE same-parity seams (CF & 1 == u, both faces on the same
+            # side) are legal: a C-grid wake cut joins the axis0-high edges
+            # of the upper and lower halves with a reflection, which the
+            # ``flip`` bits express -- the wrap-subtraction is local to the
+            # target super-block either way
             flip = tuple(
                 bool(implied.inv[pc.perm.index(K)] ^ pc.inv[pc.perm.index(K)])
                 if K != D else False

@@ -137,3 +137,42 @@ def test_cylinder_3d_merges():
     plan = bm.merge_plan(env._topo)
     assert plan is not None and plan.identity_seams
     assert len(plan.superblocks) == 2
+
+
+@pytest.fixture(scope="module")
+def airfoil_env():
+    env = fluidgym_tpu.make(
+        "Airfoil2D-easy-v0", load_initial_domain=False,
+        load_domain_statistics=False, randomize_initial_state=False)
+    env.reset(seed=0)
+    return env
+
+
+def test_airfoil_c_grid_merges_with_reflected_cut(airfoil_env):
+    """The 6-block C-grid canonicalizes to strip + upper + lower halves;
+    the wake cut survives as a same-parity reflected seam (flip on the
+    tangential axis)."""
+    plan = bm.merge_plan(airfoil_env._topo)
+    assert plan is not None
+    assert len(plan.superblocks) == 3
+    assert not plan.identity_seams
+    cut = [f for f in plan.fixups if any(f.flip)]
+    assert len(cut) == 2  # one per side of the wake cut
+    for f in cut:
+        assert f.sb != f.src_sb and f.face == f.src_face  # same-parity
+
+
+def test_airfoil_merged_apply_matches_domain_apply(airfoil_env):
+    env = airfoil_env
+    plan = bm.merge_plan(env._topo)
+    ops = _pressure_ops(env)
+    rng = np.random.default_rng(4)
+    xs = tuple(jnp.asarray(rng.standard_normal(bt.shape), jnp.float32)
+               for bt in env._topo.blocks)
+    want = st.domain_apply(ops, xs, env._topo)
+    mops = bm.pack_ops(plan, ops)
+    got = bm.unpack_fields(
+        plan, bm.merged_apply(plan, mops, bm.pack_fields(plan, xs)))
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-5, atol=2e-5)

@@ -179,3 +179,36 @@ def test_piso_solve_routes_through_merged_kernel(cyl):
     for a, r in zip(x_m, x_ref):
         a, r = np.asarray(a), np.asarray(r)
         np.testing.assert_allclose(a - a.mean(), r - r.mean(), atol=5e-4)
+
+
+def test_airfoil_merged_kernel_matches_blockwise():
+    """C-grid coverage: the reflected wake-cut fixup (flip slab) inside the
+    resident kernel reproduces the blockwise CG solution."""
+    env = fluidgym_tpu.make(
+        "Airfoil2D-easy-v0", load_initial_domain=False,
+        load_domain_statistics=False, randomize_initial_state=False)
+    env.reset(seed=0)
+    topo = env._topo
+    plan = bm.merge_plan(topo)
+    assert plan is not None and mb.fused_cg_mb_eligible(plan, jnp.float32)
+    adv_ops = st.build_advection_ops(
+        env._state, env._geoms, topo, env._state.viscosity, env._cfg.dt)
+    ops = st.build_pressure_ops(tuple(op.diag for op in adv_ops),
+                                env._geoms, topo)
+
+    def mv(xs):
+        return st.domain_apply(ops, xs, topo)
+
+    b = mv(_rhs(topo, 31))
+    x_ref, info_ref = _solve_ref(ops, topo, b, tol=1e-4)
+    mops = bm.pack_ops(plan, ops)
+    xs, info = mb.fused_cg_mb(
+        plan, tuple(m[0] for m in mops), tuple(m[1] for m in mops),
+        bm.pack_fields(plan, b), tol=1e-4, maxiter=4000, interpret=True)
+    assert bool(info.converged), info
+    x_got = bm.unpack_fields(plan, xs)
+    res = [np.asarray(bb) - np.asarray(aa)
+           for bb, aa in zip(b, mv(x_got))]
+    n = sum(a.size for a in res)
+    rmse = np.sqrt(sum((a ** 2).sum() for a in res) / n)
+    assert rmse <= 2e-4, rmse
