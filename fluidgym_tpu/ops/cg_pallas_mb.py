@@ -50,17 +50,23 @@ Array = jax.Array
 __all__ = ["fused_cg_mb_eligible", "fused_cg_mb", "set_fused_cg_mb",
            "fused_cg_mb_enabled"]
 
-_MB_MODE = False  # opt-in until the TPU A/B (scripts/merged_cg_ab.py) lands
+#: "auto" = identity-seam plans only (cylinder O-grids; measured 8.3x at the
+#: res-56 flagship, scripts/merged_cg_ab.py).  True = also flip-seam plans
+#: (airfoil C-grids -- semantics pinned in interpret mode; enable after the
+#: hardware A/B).  False = off.
+_MB_MODE = "auto"
 
 
-def set_fused_cg_mb(enabled: bool) -> None:
-    """Enable/disable routing merged multi-block pressure solves through the
-    resident kernel (solver/piso._fused_cg_mb_plan consults this)."""
+def set_fused_cg_mb(enabled) -> None:
+    """True/False/"auto": routing mode for merged multi-block pressure solves
+    (solver/piso._fused_cg_mb_plan consults this; "auto" restricts to
+    identity-seam plans)."""
     global _MB_MODE
-    _MB_MODE = bool(enabled)
+    _MB_MODE = enabled
 
 
-def fused_cg_mb_enabled() -> bool:
+def fused_cg_mb_enabled():
+    """False, True (all plans), or "auto" (identity-seam plans only)."""
     import os
 
     env = os.environ.get("FLUIDGYM_TPU_FUSED_CG_MB", "").strip().lower()

@@ -266,13 +266,15 @@ def _fused_cg_mb_plan(ops, topo: DomainTopo, coarse_fn):
         return None
     if ops[0].diag.ndim != topo.ndims:  # channel axes take the XLA path
         return None
-    if not (cg_pallas.fused_cg_enabled()
-            and cg_pallas_mb.fused_cg_mb_enabled()):
+    mode = cg_pallas_mb.fused_cg_mb_enabled()
+    if not cg_pallas.fused_cg_enabled() or mode is False:
         return None
     plan = block_merge.merge_plan(topo)
     if plan is None or not cg_pallas_mb.fused_cg_mb_eligible(
             plan, ops[0].diag.dtype):
         return None
+    if mode == "auto" and not plan.identity_seams:
+        return None  # flip-seam plans (C-grids) stay opt-in pending the A/B
     return plan
 
 

@@ -32,32 +32,41 @@ BATCH = 64
 N_MEASURE = 6
 
 
-def measure(res: int, fused: bool) -> dict:
-    cg_pallas_mb.set_fused_cg_mb(bool(fused))
-    env = fluidgym_tpu.make("CylinderJet2D-easy-v0", resolution=res, **KW)
+def measure(res: int, fused: bool, env_id: str = "CylinderJet2D-easy-v0",
+            asset: str | None = "cyl2d_res{res}_developed") -> dict:
+    cg_pallas_mb.set_fused_cg_mb(True if fused else False)
+    kw = dict(KW)
+    if res is not None:
+        kw["resolution"] = res
+    if asset is None:
+        # no developed bench asset: start from the bundled initial domain
+        kw["load_initial_domain"] = True
+    env = fluidgym_tpu.make(env_id, **kw)
     env.reset(seed=0)
     env._jit_cache.clear()
-    topo, _g, state = load_domain(
-        REPO / "bench_assets" / f"cyl2d_res{res}_developed", dtype=env._dtype)
-    assert topo == env._topo
-    env._state = state
+    if asset is not None:
+        topo, _g, state = load_domain(
+            REPO / "bench_assets" / asset.format(res=res), dtype=env._dtype)
+        assert topo == env._topo
+        env._state = state
     carry = env._pure_carry()
     fn = jax.jit(jax.vmap(env._pure_step))
     bcarry = jax.tree.map(
         lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape), carry)
+    n_act = int(np.prod(env.action_space.shape)) or 1
     rng = np.random.default_rng(0)
     c = bcarry
     for _ in range(3):  # decorrelate lanes + compile
-        a = jnp.asarray(rng.uniform(-1, 1, (BATCH, 1)), jnp.float32)
+        a = jnp.asarray(rng.uniform(-1, 1, (BATCH, n_act)), jnp.float32)
         c, *_ = fn(c, a)
-    a0 = jnp.zeros((BATCH, 1), jnp.float32)
+    a0 = jnp.zeros((BATCH, n_act), jnp.float32)
     c, *rest = fn(c, a0)
     jax.block_until_ready(jax.tree.leaves(c)[0])
     t0 = time.perf_counter()
     cds = []
     for _ in range(N_MEASURE):
         c, _obs, _r, info = fn(c, a0)
-        cds.append(info["drag"])
+        cds.append(info.get("drag", info.get("lift", _r)))
     jax.block_until_ready(jax.tree.leaves(c)[0])
     dt = (time.perf_counter() - t0) / N_MEASURE
     cd = float(np.mean([np.asarray(x).mean() for x in cds]))
@@ -77,21 +86,24 @@ def measure(res: int, fused: bool) -> dict:
 
 def main() -> None:
     out = {}
-    for res in (24, 56):
+    cases = [("res24", dict(res=24)), ("res56", dict(res=56)),
+             ("airfoil", dict(res=None, env_id="Airfoil2D-easy-v0",
+                              asset=None))]
+    for name, case_kw in cases:
         for fused in (False, True):
-            key = f"res{res}_{'fused' if fused else 'xla'}"
+            key = f"{name}_{'fused' if fused else 'xla'}"
             try:
-                out[key] = measure(res, fused)
+                out[key] = measure(fused=fused, **case_kw)
             except Exception as e:  # noqa: BLE001 - record and continue
                 out[key] = {"error": f"{type(e).__name__}: {e}"}
             print(key, out[key], flush=True)
-    for res in (24, 56):
-        a = out.get(f"res{res}_xla", {})
-        b = out.get(f"res{res}_fused", {})
+    for name in ("res24", "res56", "airfoil"):
+        a = out.get(f"{name}_xla", {})
+        b = out.get(f"{name}_fused", {})
         if "env_steps_per_sec" in a and "env_steps_per_sec" in b:
-            out[f"res{res}_speedup"] = round(
+            out[f"{name}_speedup"] = round(
                 b["env_steps_per_sec"] / a["env_steps_per_sec"], 3)
-            out[f"res{res}_cd_rel_diff"] = round(
+            out[f"{name}_cd_rel_diff"] = round(
                 abs(b["cd_mean"] - a["cd_mean"]) / max(abs(a["cd_mean"]),
                                                        1e-9), 5)
     print(json.dumps(out))

@@ -15,6 +15,12 @@ run() {
 }
 
 # ---- phase 0: one-shot measurements queued ahead of dataset work ----------
+if [ ! -e /tmp/merged_ab_airfoil.done ]; then
+  echo "=== $(date +%H:%M:%S) merged_cg_ab (airfoil rows) ===" >> "$LOG"
+  timeout 3600 python -u scripts/merged_cg_ab.py >> "$LOG" 2>&1 \
+    && touch /tmp/merged_ab_airfoil.done \
+    || echo "!!! FAILED: merged_cg_ab airfoil" >> "$LOG"
+fi
 if [ ! -e /tmp/batch_curve_chunked.done ]; then
   echo "=== $(date +%H:%M:%S) batch_curve (chunked) ===" >> "$LOG"
   timeout 2400 python -u scripts/batch_curve.py >> "$LOG" 2>&1 \

@@ -174,7 +174,7 @@ def test_piso_solve_routes_through_merged_kernel(cyl):
         x_m, inf_m = piso._solve(ops, b, topo, **kw)
     finally:
         cg_pallas.set_fused_cg("auto")
-        mb.set_fused_cg_mb(False)
+        mb.set_fused_cg_mb("auto")
     assert bool(inf_ref.converged) and bool(inf_m.converged)
     for a, r in zip(x_m, x_ref):
         a, r = np.asarray(a), np.asarray(r)
