@@ -40,6 +40,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from jax import lax
+
 from fluidgym_tpu.ops.cg_pallas import (_VMEM_BUDGET_BYTES, _lane_sum)
 from fluidgym_tpu.solver.block_merge import (MergePlan, _array_axis,
                                              _face_slab_idx)
@@ -206,10 +208,13 @@ def _np_roll_matvec(plan: MergePlan, diags, offs, xs):
 
 def _kernel(plan: MergePlan, *refs, tol2_sum: float, maxiter: int,
             stall_iters: int, precondition: bool, return_best: bool,
-            warm_start: bool):
-    """All refs carry a leading lane axis.  Ref layout per super-block s:
-    inputs  [b_s, diag_s, off_s(2*nd refs), x0_s], then outputs
-    [x_s...]*S + [iters, rs], then scratch [r_s, p_s, best_s]*S."""
+            warm_start: bool, coarse=None):
+    """All refs carry a leading lane axis (except the strip restriction
+    matrices, which are lane-shared).  Ref layout per super-block s:
+    inputs  [b_s, diag_s, off_s(2*nd refs), x0_s], then (with ``coarse``, a
+    StripPlan) [Einv, P_space0, P_space1, ...], then outputs
+    [x_s...]*S + [iters, rs], then scratch [r_s, p_s, best_s, Av_s]*S
+    (+ [rc] with coarse)."""
     nd = plan.ndims
     nf = 2 * nd
     S = len(plan.superblocks)
@@ -219,6 +224,11 @@ def _kernel(plan: MergePlan, *refs, tol2_sum: float, maxiter: int,
     off_refs = [refs[s * per_in + 2:s * per_in + 2 + nf] for s in range(S)]
     x0_refs = [refs[s * per_in + 2 + nf] for s in range(S)]
     base = S * per_in
+    n_coarse = 0 if coarse is None else 1 + len(coarse.spaces)
+    if coarse is not None:
+        einv_ref = refs[base]
+        P_refs = list(refs[base + 1:base + n_coarse])
+    base += n_coarse
     x_out = list(refs[base:base + S])
     iters_ref, rs_ref = refs[base + S], refs[base + S + 1]
     scr = refs[base + S + 2:]
@@ -226,6 +236,8 @@ def _kernel(plan: MergePlan, *refs, tol2_sum: float, maxiter: int,
     p_refs = list(scr[S:2 * S])
     best_refs = list(scr[2 * S:3 * S])
     av_refs = list(scr[3 * S:4 * S])
+    if coarse is not None:
+        rc_ref = scr[4 * S]
 
     dt = b_refs[0].dtype
     diags = [d[:] for d in diag_refs]
@@ -234,6 +246,46 @@ def _kernel(plan: MergePlan, *refs, tol2_sum: float, maxiter: int,
     tiny = jnp.asarray(1e-30, dt)
     inv_diags = ([jnp.asarray(1.0, dt) / d for d in diags]
                  if precondition else None)
+    lanes = bs[0].shape[0]
+
+    def apply_precond(rs_fields):
+        """z = D^-1 r (+ strip-coarse correction W Einv W^T r): small
+        per-lane dots and keepdims sums only -- no reshapes (Mosaic)."""
+        zs = ([iv * r for iv, r in zip(inv_diags, rs_fields)]
+              if precondition else list(rs_fields))
+        if coarse is None:
+            return zs
+        for l in range(lanes):
+            for sp_i, space in enumerate(coarse.spaces):
+                r = rs_fields[space.sb][l]
+                P = P_refs[sp_i][:]
+                if space.axis == 0:
+                    t = jnp.sum(r, axis=1, keepdims=True)          # (H,1)
+                    c = jnp.dot(P, t)                               # (n,1)
+                else:
+                    t = jnp.sum(r, axis=0, keepdims=True)          # (1,W)
+                    c = lax.dot_general(P, t, (((1,), (1,)), ((), ())))
+                rc_ref[l, space.offset:space.offset + space.n, :] = c
+        rc = rc_ref[:]
+        einv = einv_ref[:]
+        backs = {s_i: [] for s_i in range(S)}
+        for l in range(lanes):
+            xc = jnp.dot(einv[l], rc[l])                            # (K,1)
+            per_sb = {}
+            for sp_i, space in enumerate(coarse.spaces):
+                P = P_refs[sp_i][:]
+                seg = xc[space.offset:space.offset + space.n, :]    # (n,1)
+                back = lax.dot_general(P, seg, (((0,), (0,)), ((), ())))
+                if space.axis != 0:
+                    back = jnp.transpose(back)                      # (1,W)
+                per_sb[space.sb] = back
+            for s_i in range(S):
+                backs[s_i].append(per_sb.get(s_i))
+        for s_i in range(S):
+            if backs[s_i][0] is not None:
+                corr = jnp.stack(backs[s_i], axis=0)   # (lanes,H,1)/(lanes,1,W)
+                zs[s_i] = zs[s_i] + corr
+        return zs
 
     def joint(parts):
         out = parts[0]
@@ -251,8 +303,7 @@ def _kernel(plan: MergePlan, *refs, tol2_sum: float, maxiter: int,
         rs_f = bs
         for s in range(S):
             x_out[s][:] = jnp.zeros_like(bs[s])
-    zs = ([iv * r for iv, r in zip(inv_diags, rs_f)]
-          if precondition else rs_f)
+    zs = apply_precond(rs_f)
     for s in range(S):
         r_refs[s][:] = rs_f[s]
         p_refs[s][:] = zs[s]
@@ -291,8 +342,7 @@ def _kernel(plan: MergePlan, *refs, tol2_sum: float, maxiter: int,
                     for b, a, r in zip(bs, Av, r_refs)]
         for s in range(S):
             r_refs[s][:] = rs_new_f[s]
-        zs = ([iv * r for iv, r in zip(inv_diags, rs_new_f)]
-              if precondition else rs_new_f)
+        zs = apply_precond(rs_new_f)
         rz_new = joint([_lane_sum(r * z)
                         for r, z in zip(rs_new_f, zs)]).astype(dt)
         rsum_new = joint([_lane_sum(r * r) for r in rs_new_f]).astype(dt)
@@ -326,7 +376,7 @@ def _kernel(plan: MergePlan, *refs, tol2_sum: float, maxiter: int,
 @functools.lru_cache(maxsize=None)
 def _lane_solver(plan: MergePlan, tol2_sum: float, maxiter: int,
                  stall_iters: int, precondition: bool, return_best: bool,
-                 warm_start: bool, interpret: bool):
+                 warm_start: bool, interpret: bool, coarse=None):
     """(lanes, *spatial)-per-super-block lockstep solver with the custom_vmap
     lane-folding rule (cg_pallas._lane_solver generalized to S arrays).
 
@@ -346,13 +396,18 @@ def _lane_solver(plan: MergePlan, tol2_sum: float, maxiter: int,
         return bs, diags, offs, x0s
 
     def call_kernel(args):
+        # with coarse, args = [per-sb inputs...] + [Einv (lanes,K,K)]; the
+        # lane-shared strip restriction matrices are appended here (static)
         bs, diags, offs, x0s = _split(args)
-        lane_shape = bs[0].shape[:1]
         kernel = functools.partial(
             _kernel, plan, tol2_sum=tol2_sum, maxiter=maxiter,
             stall_iters=stall_iters, precondition=precondition,
-            return_best=return_best, warm_start=warm_start)
-        n_in = S * per
+            return_best=return_best, warm_start=warm_start, coarse=coarse)
+        operands = list(args)
+        if coarse is not None:
+            from fluidgym_tpu.solver.coarse_strips import restriction_matrices
+            operands += [jnp.asarray(P)
+                         for P in restriction_matrices(plan, coarse)]
         out_shape = tuple(
             jax.ShapeDtypeStruct(b.shape, b.dtype) for b in bs
         ) + (
@@ -360,15 +415,19 @@ def _lane_solver(plan: MergePlan, tol2_sum: float, maxiter: int,
             jax.ShapeDtypeStruct(bs[0].shape, bs[0].dtype),
         )
         scratch = [pltpu.VMEM(b.shape, b.dtype) for b in bs] * 4
+        if coarse is not None:
+            lanes = bs[0].shape[0]
+            scratch = scratch + [
+                pltpu.VMEM((lanes, coarse.K, 1), bs[0].dtype)]
         outs = pl.pallas_call(
             kernel,
             out_shape=out_shape,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(operands),
             out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                             for _ in range(S + 2)),
             scratch_shapes=scratch,
             interpret=interpret,
-        )(*args)
+        )(*operands)
         return list(outs[:S]), outs[S], outs[S + 1]
 
     def xla_loop_lanes(args):
@@ -469,6 +528,7 @@ def fused_cg_mb(
     stall_iters: int = 250,
     precondition: bool = True,
     return_best: bool = True,
+    coarse_strips: bool = False,
     interpret: bool = False,
 ) -> tuple[tuple[Array, ...], SolveInfo]:
     """Whole-solve lockstep CG on a merged multi-block stencil operator.
@@ -487,9 +547,14 @@ def fused_cg_mb(
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
 
+    sp = None
+    if coarse_strips:
+        from fluidgym_tpu.solver.coarse_strips import (coarse_inverse,
+                                                       strip_plan)
+        sp = strip_plan(plan)
     solver = _lane_solver(plan, tol2_sum, int(maxiter), int(stall_iters),
                           bool(precondition), bool(return_best), warm,
-                          bool(interpret))
+                          bool(interpret), sp)
     nf = 2 * plan.ndims
     args = []
     for s in range(S):
@@ -497,6 +562,12 @@ def fused_cg_mb(
         args.append(diags[s])
         args.extend(offs[s][f] for f in range(nf))
         args.append(x0s_in[s])
+    if sp is not None:
+        merged_ops = tuple((diags[s], offs[s]) for s in range(S))
+        # stop_gradient: the preconditioner setup must not enter backward
+        # graphs (guess-like by the implicit-function property)
+        args.append(jax.lax.stop_gradient(
+            coarse_inverse(plan, sp, merged_ops)))
     outs = solver(*args)
     xs, iters, rs = list(outs[:S]), outs[S], outs[S + 1]
 

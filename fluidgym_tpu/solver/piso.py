@@ -200,6 +200,12 @@ class SimConfig:
     mg_sweeps: int = 2
     mg_omega: float = 0.8
     mg_coarsest_sweeps: int = 24
+    # Two-level strip-aggregation coarse correction inside the merged
+    # resident CG kernel (ops/cg_pallas_mb.py + solver/coarse_strips.py):
+    # deflates the smooth long-axis error modes of elongated multi-block
+    # domains each iteration.  Only affects solves routed through the
+    # merged kernel; ignored elsewhere.
+    pressure_coarse_strips: bool = False
     # Static bound on CFL substeps per env dt in DIFFERENTIABLE adaptive mode
     # (reverse-mode AD cannot differentiate a dynamic while_loop, so the
     # adaptive loop becomes a masked lax.scan of this fixed length; converged
@@ -297,7 +303,7 @@ def _posthoc_info(mv, b, x, tol) -> linsolve.SolveInfo:
 def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
            return_best, differentiable=True, x0=None, precondition=False,
            x0_fn=None, stall_iters=250, coarse_fn=None,
-           precond_override=None):
+           precond_override=None, coarse_strips=False):
     """Differentiable global linear solve over all blocks; returns
     ``(x, SolveInfo)`` -- the convergence metadata the reference surfaces as
     ``LinearSolverResultInfo`` / raises as ``LinsolveError``
@@ -364,7 +370,7 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                 else block_merge.pack_fields(mplan, guess),
                 tol=tol_resolved, maxiter=maxiter,
                 stall_iters=stall_iters, precondition=precondition,
-                return_best=return_best)
+                return_best=return_best, coarse_strips=coarse_strips)
             return tuple(block_merge.unpack_fields(mplan, xs)), inf
 
         if not differentiable:
@@ -781,6 +787,7 @@ def piso_substep_info(
             stall_iters=cfg.pressure_stall_iters,
             coarse_fn=coarse_fn,
             precond_override=mg_fn,
+            coarse_strips=cfg.pressure_coarse_strips,
         )
         info = info._replace(
             pressure_converged=jnp.logical_and(
@@ -1034,6 +1041,7 @@ def make_divergence_free(
                 return_best=cfg.pressure_return_best_result,
                 differentiable=cfg.differentiable,
                 precondition=cfg.pressure_precondition,
+                coarse_strips=cfg.pressure_coarse_strips,
             )
             if cfg.normalize_pressure_result:
                 mean = _global_mean(pressures)

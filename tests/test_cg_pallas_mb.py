@@ -212,3 +212,71 @@ def test_airfoil_merged_kernel_matches_blockwise():
     n = sum(a.size for a in res)
     rmse = np.sqrt(sum((a ** 2).sum() for a in res) / n)
     assert rmse <= 2e-4, rmse
+
+
+def test_strip_coarse_cuts_iterations_same_solution(cyl):
+    """Two-level strip preconditioning (solver/coarse_strips.py) inside the
+    kernel: same converged solution, strictly fewer iterations."""
+    env, plan, ops = cyl
+    topo = env._topo
+
+    def mv(xs):
+        return st.domain_apply(ops, xs, topo)
+
+    # smooth manufactured solution: the coarse space targets the smooth
+    # long-axis error modes (a white-noise RHS is Jacobi territory)
+    fields = []
+    for bt in topo.blocks:
+        H, W = bt.shape
+        yy, xx = np.meshgrid(np.linspace(0, 1, H), np.linspace(0, 1, W),
+                             indexing="ij")
+        fields.append(jnp.asarray(
+            np.sin(2 * np.pi * yy) + np.cos(2 * np.pi * xx)
+            + 0.5 * np.sin(4 * np.pi * (yy + xx)), jnp.float32))
+    b = mv(tuple(fields))
+    mops = bm.pack_ops(plan, ops)
+    diags = tuple(m[0] for m in mops)
+    offs = tuple(m[1] for m in mops)
+    mbs = bm.pack_fields(plan, b)
+    xs0, i0 = mb.fused_cg_mb(plan, diags, offs, mbs, tol=TOL,
+                             maxiter=4000, interpret=True)
+    xs1, i1 = mb.fused_cg_mb(plan, diags, offs, mbs, tol=TOL,
+                             maxiter=4000, coarse_strips=True,
+                             interpret=True)
+    assert bool(i0.converged) and bool(i1.converged)
+    # measured 264 -> 131 on this setup; assert a robust margin
+    assert int(i1.iterations) < 0.75 * int(i0.iterations), (
+        int(i0.iterations), int(i1.iterations))
+    # different preconditioners land on different iterates of the singular
+    # ill-conditioned system (apart by up to kappa*tol); the contract is the
+    # TRUE blockwise residual, not iterate equality
+    x_got = bm.unpack_fields(plan, xs1)
+    res = [np.asarray(bb) - np.asarray(aa) for bb, aa in zip(b, mv(x_got))]
+    n = sum(a.size for a in res)
+    rmse = np.sqrt(sum((a ** 2).sum() for a in res) / n)
+    assert rmse <= 2 * TOL, rmse
+
+
+def test_strip_coarse_E_matches_brute_force(cyl):
+    """assemble_E == restrict(A(prolong(e_j))) columnwise on the real
+    cylinder pressure operator."""
+    from fluidgym_tpu.solver import coarse_strips as cs
+
+    env, plan, ops = cyl
+    mops = bm.pack_ops(plan, ops)
+    sp = cs.strip_plan(plan)
+    assert sp is not None
+    E = np.asarray(cs.assemble_E(plan, sp, mops))
+
+    def mv(ys):
+        return bm.merged_apply(plan, mops, ys)
+
+    cols = []
+    for j in range(sp.K):
+        e = np.zeros(sp.K, np.float32)
+        e[j] = 1.0
+        cols.append(np.asarray(
+            cs.restrict(plan, sp, mv(cs.prolong(plan, sp, jnp.asarray(e))))))
+    E_ref = np.stack(cols, 1)
+    np.testing.assert_allclose(E, E_ref,
+                               atol=1e-4 * np.abs(E_ref).max())
