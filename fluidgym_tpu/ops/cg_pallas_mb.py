@@ -137,6 +137,17 @@ def fused_cg_mb_eligible(plan: MergePlan | None, dtype) -> bool:
     return True
 
 
+def _flip_sizes(plan: MergePlan) -> tuple[int, ...]:
+    """Unique tangential extents needing a reversal matrix (Mosaic has no
+    `rev` lowering; flips become anti-diagonal matmuls on the slabs)."""
+    sizes = set()
+    for fx in plan.fixups:
+        for K in range(plan.ndims):
+            if fx.flip[K]:
+                sizes.add(fx.src_window[K][1] - fx.src_window[K][0])
+    return tuple(sorted(sizes))
+
+
 def _slab(plan: MergePlan, s: int, face: int, window) -> tuple:
     """Static index tuple (with a leading lane axis) of a face slab."""
     idx = _face_slab_idx(plan.ndims, face, window,
@@ -144,7 +155,8 @@ def _slab(plan: MergePlan, s: int, face: int, window) -> tuple:
     return (slice(None),) + idx
 
 
-def _mb_matvec_into(out_refs, plan: MergePlan, diags, offs, xs):
+def _mb_matvec_into(out_refs, plan: MergePlan, diags, offs, xs,
+                    flip_mats=None):
     """Merged matvec WRITTEN INTO scratch refs: per-super-block roll stencil,
     then static seam-fixup corrections as ref slab read-modify-writes (Mosaic
     lowers neither scatter-add nor dynamic_update_slice on values, but ref
@@ -167,9 +179,26 @@ def _mb_matvec_into(out_refs, plan: MergePlan, diags, offs, xs):
         src_slab = _slab(plan, fx.src_sb, fx.src_face, fx.src_window)
         wrap_slab = _slab(plan, fx.sb, fx.face ^ 1, fx.window)
         src = xs[fx.src_sb][src_slab]
+        lanes = src.shape[0]
         for K in range(nd):
             if fx.flip[K]:
-                src = jnp.flip(src, axis=1 + _array_axis(nd, K))
+                # Mosaic has no `rev` lowering: reverse via a static
+                # anti-diagonal permutation matmul on the (tiny) slab
+                # (pallas kernels cannot capture array constants, so the
+                # reversal matrices arrive as inputs via ``flip_mats``)
+                ax = 1 + _array_axis(nd, K)
+                n_ax = src.shape[ax]
+                J = flip_mats[n_ax]
+                rows = []
+                for l in range(lanes):
+                    sl = src[l]                       # 2D slab
+                    if ax == 1:
+                        rows.append(jnp.dot(J, sl,
+                                    precision=lax.Precision.HIGHEST))
+                    else:
+                        rows.append(jnp.dot(sl, J,
+                                    precision=lax.Precision.HIGHEST))
+                src = jnp.stack(rows, axis=0)
         delta = offs[fx.sb][fx.face][slab] * (src - xs[fx.sb][wrap_slab])
         out_refs[fx.sb][slab] = out_refs[fx.sb][slab] + delta
     return [r[:] for r in out_refs]
@@ -229,6 +258,9 @@ def _kernel(plan: MergePlan, *refs, tol2_sum: float, maxiter: int,
         einv_ref = refs[base]
         P_refs = list(refs[base + 1:base + n_coarse])
     base += n_coarse
+    flip_sizes = _flip_sizes(plan)
+    flip_mats = {n: refs[base + i][:] for i, n in enumerate(flip_sizes)}
+    base += len(flip_sizes)
     x_out = list(refs[base:base + S])
     iters_ref, rs_ref = refs[base + S], refs[base + S + 1]
     scr = refs[base + S + 2:]
@@ -261,21 +293,23 @@ def _kernel(plan: MergePlan, *refs, tol2_sum: float, maxiter: int,
                 P = P_refs[sp_i][:]
                 if space.axis == 0:
                     t = jnp.sum(r, axis=1, keepdims=True)          # (H,1)
-                    c = jnp.dot(P, t)                               # (n,1)
+                    c = jnp.dot(P, t, precision=lax.Precision.HIGHEST)
                 else:
                     t = jnp.sum(r, axis=0, keepdims=True)          # (1,W)
-                    c = lax.dot_general(P, t, (((1,), (1,)), ((), ())))
+                    c = lax.dot_general(P, t, (((1,), (1,)), ((), ())),
+                                        precision=lax.Precision.HIGHEST)
                 rc_ref[l, space.offset:space.offset + space.n, :] = c
         rc = rc_ref[:]
         einv = einv_ref[:]
         backs = {s_i: [] for s_i in range(S)}
         for l in range(lanes):
-            xc = jnp.dot(einv[l], rc[l])                            # (K,1)
+            xc = jnp.dot(einv[l], rc[l], precision=lax.Precision.HIGHEST)
             per_sb = {}
             for sp_i, space in enumerate(coarse.spaces):
                 P = P_refs[sp_i][:]
                 seg = xc[space.offset:space.offset + space.n, :]    # (n,1)
-                back = lax.dot_general(P, seg, (((0,), (0,)), ((), ())))
+                back = lax.dot_general(P, seg, (((0,), (0,)), ((), ())),
+                                       precision=lax.Precision.HIGHEST)
                 if space.axis != 0:
                     back = jnp.transpose(back)                      # (1,W)
                 per_sb[space.sb] = back
@@ -295,7 +329,8 @@ def _kernel(plan: MergePlan, *refs, tol2_sum: float, maxiter: int,
 
     if warm_start:
         x0s = [x[:] for x in x0_refs]
-        Ax0 = _mb_matvec_into(av_refs, plan, diags, offs, x0s)
+        Ax0 = _mb_matvec_into(av_refs, plan, diags, offs, x0s,
+                              flip_mats=flip_mats)
         rs_f = [b - a for b, a in zip(bs, Ax0)]
         for s in range(S):
             x_out[s][:] = x0s[s]
@@ -329,7 +364,8 @@ def _kernel(plan: MergePlan, *refs, tol2_sum: float, maxiter: int,
         # iteration that refreshes the true residual (linsolve.cg parity)
         Av = _mb_matvec_into(av_refs, plan, diags, offs,
                               [jnp.where(recompute, x, p)
-                               for x, p in zip(xs, ps)])
+                               for x, p in zip(xs, ps)],
+                              flip_mats=flip_mats)
         denom = joint([_lane_sum(p * a)
                        for p, a in zip(ps, Av)]).astype(dt)
         alpha = jnp.where(
@@ -408,6 +444,8 @@ def _lane_solver(plan: MergePlan, tol2_sum: float, maxiter: int,
             from fluidgym_tpu.solver.coarse_strips import restriction_matrices
             operands += [jnp.asarray(P)
                          for P in restriction_matrices(plan, coarse)]
+        operands += [jnp.asarray(np.eye(n, dtype=np.float32)[::-1].copy())
+                     for n in _flip_sizes(plan)]
         out_shape = tuple(
             jax.ShapeDtypeStruct(b.shape, b.dtype) for b in bs
         ) + (

@@ -193,7 +193,13 @@ def assemble_E(plan: MergePlan, sp: StripPlan, merged_ops):
 
     In-space band terms come from 1D reductions of the coefficient fields;
     seam fixups contribute small static-indexed scatters.  Differentiable
-    and vmap-safe (everything is jnp on the per-lane coefficients)."""
+    and vmap-safe (everything is jnp on the per-lane coefficients).
+
+    NOTE full-fp32 matmul precision is forced throughout: on TPU the default
+    bf16-multiply matmul puts ~1e-2 relative error into E, and the
+    regularized inverse amplifies it into preconditioner noise that STALLS
+    CG (measured: no iteration cut + lost convergence at the res-56
+    flagship; exact on CPU)."""
     Ps = restriction_matrices(plan, sp)
     dt = merged_ops[0][0].dtype
     K = sp.K
@@ -211,14 +217,16 @@ def assemble_E(plan: MergePlan, sp: StripPlan, merged_ops):
         for f in keep_faces:
             m_keep = m_keep + off[f].sum(axis=o)
         P = jnp.asarray(Pnp)
-        Eb = (P * m_keep[None, :]) @ P.T
+        Eb = jnp.dot(P * m_keep[None, :], P.T,
+                     precision=jax.lax.Precision.HIGHEST)
         for f in shift_faces:
             m = off[f].sum(axis=o)
             # roll +1 (f even) reads index i-1: cell i couples to i-1, so
             # the source indicator is P shifted by +1: P_src[b,h] = P[b,h-1]
             shift = 1 if f % 2 == 0 else -1
             P_src = jnp.asarray(np.roll(Pnp, shift, axis=1))
-            Eb = Eb + (P * m[None, :]) @ P_src.T
+            Eb = Eb + jnp.dot(P * m[None, :], P_src.T,
+                              precision=jax.lax.Precision.HIGHEST)
         E = E.at[s.offset:s.offset + s.n, s.offset:s.offset + s.n].add(Eb)
     # seam fixups: off*(src - wrapped) on the slab
     for (slab, has_u, has_v, rows, cols, wraps), fx in zip(
@@ -236,6 +244,7 @@ def coarse_inverse(plan: MergePlan, sp: StripPlan, merged_ops,
                    eps_rel: float = 1e-6):
     """Regularized dense inverse of E (the strip basis is rank-deficient by
     the constant mode shared with null(A); eps keeps it SPD)."""
-    E = assemble_E(plan, sp, merged_ops)
-    eps = eps_rel * jnp.trace(E) / sp.K
-    return jnp.linalg.inv(E + eps * jnp.eye(sp.K, dtype=E.dtype))
+    with jax.default_matmul_precision("float32"):
+        E = assemble_E(plan, sp, merged_ops)
+        eps = eps_rel * jnp.trace(E) / sp.K
+        return jnp.linalg.inv(E + eps * jnp.eye(sp.K, dtype=E.dtype))

@@ -36,11 +36,14 @@ run RBC2D-wide-medium-v0   --lanes 30
 run RBC2D-wide-hard-v0     --lanes 30
 run CylinderJet2D-medium-v0 --lanes 10
 # res-48: one impulsive-transient vmapped step can trip the ~2 min TPU
-# per-call watchdog (crashed twice); split the transient into shorter calls
-run CylinderJet2D-hard-v0   --lanes 6 --transient-steps 40 --transient-split 4
+# per-call watchdog (crashed 3x, even with split 4): run the WHOLE burn-in
+# through the split-step path with short calls and fewer lanes
+run CylinderJet2D-hard-v0   --lanes 3 --transient-steps 999999 --transient-split 8
 run Airfoil2D-easy-v0      --lanes 10
-run Airfoil2D-medium-v0    --lanes 10
-run Airfoil2D-hard-v0      --lanes 10
+# airfoil medium/hard: stage-2 episode steps crashed the worker at 10 lanes
+# (one vmapped env step per call; Re>=3000 adaptive CFL); halve the call size
+run Airfoil2D-medium-v0    --lanes 5
+run Airfoil2D-hard-v0      --lanes 5
 
 # ---- phase B: 3D moderate --------------------------------------------------
 run RBC3D-easy-v0          --lanes 10
