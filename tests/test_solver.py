@@ -281,3 +281,49 @@ def test_coarse_preconditioner_same_solution_fewer_iters():
     # same solution up to the nullspace constant
     d0 = np.asarray(x1[0]) - np.asarray(x2[0])
     assert np.abs(d0 - d0.mean()).max() < 5e-4
+
+
+def test_pressure_extrapolation_matches_physics():
+    """Extrapolated warm starts (SimConfig.pressure_extrapolate) change only
+    solver trajectories, not converged physics, in both modes -- and the
+    differentiable path still yields finite gradients through the new scan
+    carries."""
+    import dataclasses
+
+    import fluidgym_tpu
+    from fluidgym_tpu.solver import piso
+
+    env = fluidgym_tpu.make(
+        "RBC2D-easy-v0", n_heaters=4, resolution=4, episode_length=3,
+        step_length=0.1, dt=0.05, load_initial_domain=False,
+        load_domain_statistics=False, randomize_initial_state=False)
+    env.reset(seed=0)
+    state, geoms, topo = env._state, env._geoms, env._topo
+    base_cfg = dataclasses.replace(env._cfg, substeps=1, differentiable=False)
+
+    outs = {}
+    for extrap in (False, True):
+        cfg = dataclasses.replace(base_cfg, pressure_extrapolate=extrap)
+        s, info = piso.piso_fixed_steps_info(
+            state, geoms, topo, cfg, jnp.asarray(0.05, jnp.float32), 4)
+        assert bool(info.pressure_converged), info
+        outs[extrap] = s
+    for b in range(len(topo.blocks)):
+        np.testing.assert_allclose(
+            np.asarray(outs[True].blocks[b].velocity),
+            np.asarray(outs[False].blocks[b].velocity), atol=5e-4)
+
+    # differentiable mode: adaptive masked scan with the extrapolation carry
+    cfg_d = dataclasses.replace(env._cfg, differentiable=True,
+                                pressure_extrapolate=True)
+
+    def loss(scale):
+        s0 = jax.tree.map(lambda a: a, state)
+        s0 = s0.replace_block(0, dataclasses.replace(
+            s0.blocks[0], velocity=s0.blocks[0].velocity * scale))
+        s1 = piso.piso_adaptive_step(
+            s0, geoms, topo, cfg_d, jnp.asarray(0.05, jnp.float32))
+        return sum(jnp.sum(b.velocity ** 2) for b in s1.blocks)
+
+    g = jax.grad(loss)(jnp.asarray(1.0, jnp.float32))
+    assert np.isfinite(float(g)) and float(g) != 0.0
