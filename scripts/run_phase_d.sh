@@ -19,6 +19,13 @@ if [ -n "${QPID:-}" ]; then
 fi
 echo "=== $(date +%H:%M:%S) PHASE D START ===" >> "$LOG"
 
+if [ ! -e /tmp/extrap_ab.done ]; then
+  echo "=== $(date +%H:%M:%S) extrap_ab ===" >> "$LOG"
+  timeout 2700 python -u scripts/extrap_ab.py >> "$LOG" 2>&1 \
+    && touch /tmp/extrap_ab.done \
+    || echo "!!! FAILED: extrap_ab" >> "$LOG"
+fi
+
 run() {
   echo "=== $(date +%H:%M:%S) $* ===" >> "$LOG"
   timeout "${STEP_TIMEOUT:-7200}" $GEN "$@" --bundle >> "$LOG" 2>&1 \
