@@ -293,11 +293,20 @@ def _lane_solver(ndims: int, tol2_sum: float, maxiter: int, stall_iters: int,
 
     def solve_lanes(diag, offs, b, x0):
         """Chunk lanes so every kernel call stays within the VMEM budget;
-        chunks solve sequentially (lax.map), lanes within a chunk lockstep."""
+        chunks solve sequentially (lax.map), lanes within a chunk lockstep.
+        Sub-8-lane chunks are allowed when the per-lane working set is big
+        enough to keep the VPU busy on its own (the 8-lane floor exists for
+        the tiny-lane regime where serialization measured 0.56x; the merged
+        kernel's 2-lane res-56 chunks measured 8.3x -- cg_pallas_mb)."""
         lanes = b.shape[0]
         spatial = b.shape[1:]
         chunk = min(lanes, _max_lanes(spatial, ndims, b.dtype))
-        if lanes > 1 and chunk < min(lanes, 8):
+        padded = list(spatial)
+        padded[-1] = -(-padded[-1] // 128) * 128
+        if len(padded) >= 2:
+            padded[-2] = -(-padded[-2] // 8) * 8
+        big_lane = int(np.prod(padded)) >= 16384
+        if lanes > 1 and chunk < min(lanes, 8) and not big_lane:
             return xla_loop_lanes(diag, offs, b, x0)
         if chunk >= lanes:
             return call_kernel(diag, offs, b, x0)
