@@ -25,6 +25,12 @@ if [ ! -e /tmp/extrap_ab.done ]; then
     && touch /tmp/extrap_ab.done \
     || echo "!!! FAILED: extrap_ab" >> "$LOG"
 fi
+if [ ! -e /tmp/solve_breakdown.done ]; then
+  echo "=== $(date +%H:%M:%S) solve_breakdown ===" >> "$LOG"
+  timeout 2700 python -u scripts/solve_breakdown.py >> "$LOG" 2>&1 \
+    && touch /tmp/solve_breakdown.done \
+    || echo "!!! FAILED: solve_breakdown" >> "$LOG"
+fi
 
 run() {
   echo "=== $(date +%H:%M:%S) $* ===" >> "$LOG"
