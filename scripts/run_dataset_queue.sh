@@ -43,7 +43,8 @@ run Airfoil2D-easy-v0      --lanes 10
 # airfoil medium/hard: stage-2 episode steps crashed the worker at 10 lanes
 # (one vmapped env step per call; Re>=3000 adaptive CFL); halve the call size
 run Airfoil2D-medium-v0    --lanes 5
-run Airfoil2D-hard-v0      --lanes 5
+# airfoil-hard moved to phase D: 3D easy/medium coverage and the TCF
+# resolution study outrank a hard-tier 2D config for round-2 runtime
 
 # ---- phase B: 3D moderate --------------------------------------------------
 run RBC3D-easy-v0          --lanes 10
@@ -60,4 +61,12 @@ run TCFSmall3D-bottom-easy-v0 --lanes 3 --n-domains 3 --episode-steps 100
 run CylinderJet3D-medium-v0 --lanes 2 --n-domains 2
 run Airfoil3D-medium-v0    --lanes 2 --n-domains 2 --episode-steps 100
 run TCFSmall3D-bottom-medium-v0 --lanes 2 --n-domains 2 --episode-steps 60
+
+# ---- TCF resolution study (VERDICT round-1 #10) ahead of hard tiers -------
+if [ ! -e /tmp/tcf_resolution.done ]; then
+  echo "=== $(date +%H:%M:%S) tcf_resolution_study ===" >> "$LOG"
+  timeout 10800 python -u scripts/tcf_resolution_study.py >> "$LOG" 2>&1 \
+    && touch /tmp/tcf_resolution.done \
+    || echo "!!! FAILED: tcf_resolution_study" >> "$LOG"
+fi
 echo "=== QUEUE DONE $(date) ===" >> "$LOG"

@@ -38,6 +38,7 @@ run() {
     || echo "!!! FAILED: $*" >> "$LOG"
 }
 
+run Airfoil2D-hard-v0 --lanes 5
 # retry: crashed the TPU worker twice mid-burn-in with whole-env-step calls
 run CylinderJet2D-hard-v0 --lanes 3 --transient-steps 999999 --transient-split 4
 run TCFSmall3D-bottom-hard-v0 --lanes 2 --n-domains 2 --episode-steps 60
