@@ -80,13 +80,17 @@ def fused_cg_enabled() -> bool:
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
-def _lane_bytes(shape: tuple[int, ...], ndims: int, dtype) -> int:
-    # (8, 128) tile padding on the two minor dims is real VMEM occupancy
+def _padded_cells(shape: tuple[int, ...]) -> int:
+    """(8, 128) tile padding on the two minor dims is real VMEM occupancy."""
     padded = list(shape)
     padded[-1] = -(-padded[-1] // 128) * 128
     if len(padded) >= 2:
         padded[-2] = -(-padded[-2] // 8) * 8
-    cells = int(np.prod(padded))
+    return int(np.prod(padded))
+
+
+def _lane_bytes(shape: tuple[int, ...], ndims: int, dtype) -> int:
+    cells = _padded_cells(shape)
     # diag, off, b, x0, x, r, p, best + ~5 Mosaic expression temporaries
     # (calibrated against the compiler's scoped-vmem accounting: a 32-lane
     # 61x96 fp32 solve allocates 16.93M ~= 16 lane-fields of 32 KB x 32)
@@ -301,11 +305,7 @@ def _lane_solver(ndims: int, tol2_sum: float, maxiter: int, stall_iters: int,
         lanes = b.shape[0]
         spatial = b.shape[1:]
         chunk = min(lanes, _max_lanes(spatial, ndims, b.dtype))
-        padded = list(spatial)
-        padded[-1] = -(-padded[-1] // 128) * 128
-        if len(padded) >= 2:
-            padded[-2] = -(-padded[-2] // 8) * 8
-        big_lane = int(np.prod(padded)) >= 16384
+        big_lane = _padded_cells(spatial) >= 16384
         if lanes > 1 and chunk < min(lanes, 8) and not big_lane:
             return xla_loop_lanes(diag, offs, b, x0)
         if chunk >= lanes:

@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jax import lax
 
-from fluidgym_tpu.ops.cg_pallas import (_VMEM_BUDGET_BYTES, _lane_sum)
+from fluidgym_tpu.ops.cg_pallas import (_VMEM_BUDGET_BYTES, _lane_sum,
+                                        _padded_cells)
 from fluidgym_tpu.solver.block_merge import (MergePlan, _array_axis,
                                              _face_slab_idx)
 from fluidgym_tpu.solver.linsolve import SolveInfo
@@ -62,8 +63,12 @@ _MB_MODE = "auto"
 def set_fused_cg_mb(enabled) -> None:
     """True/False/"auto": routing mode for merged multi-block pressure solves
     (solver/piso._fused_cg_mb_plan consults this; "auto" restricts to
-    identity-seam plans)."""
+    identity-seam plans).  Any other value is rejected -- a falsy non-False
+    value (0, None, "") must not silently mean "all plans"."""
     global _MB_MODE
+    if enabled not in (True, False, "auto"):
+        raise ValueError(
+            f"set_fused_cg_mb expects True, False, or 'auto'; got {enabled!r}")
     _MB_MODE = enabled
 
 
@@ -81,14 +86,6 @@ def fused_cg_mb_enabled():
 #: Minimum total (padded) cells per lane for sub-8-lane chunks: one big lane
 #: keeps the VPU busy by itself, so residency wins even without lane packing.
 _BIG_LANE_CELLS = 16384
-
-
-def _padded_cells(shape: tuple[int, ...]) -> int:
-    padded = list(shape)
-    padded[-1] = -(-padded[-1] // 128) * 128
-    if len(padded) >= 2:
-        padded[-2] = -(-padded[-2] // 8) * 8
-    return int(np.prod(padded))
 
 
 def _sb_array_shape(plan: MergePlan, s: int) -> tuple[int, ...]:
@@ -118,6 +115,10 @@ def fused_cg_mb_eligible(plan: MergePlan | None, dtype) -> bool:
     individually big enough to keep the VPU busy."""
     if plan is None or plan.ndims not in (2, 3):
         return False
+    if plan.ndims == 3 and not plan.identity_seams:
+        # the in-kernel flip (reversal matmul) is 2D-only: for 3D slabs
+        # jnp.dot would contract the wrong axis
+        return False
     # tile padding burns VPU work: bound the AGGREGATE waste instead of
     # rejecting per-array minor widths (the cylinder ring packs as (96, 37)
     # -> (96, 128), a 3.5x pad on the SMALLER of its two arrays, but only
@@ -131,9 +132,7 @@ def fused_cg_mb_eligible(plan: MergePlan | None, dtype) -> bool:
     if _lane_bytes(plan, dtype) > _VMEM_BUDGET_BYTES:
         return False
     if _max_lanes(plan, dtype) < 8:
-        total = sum(_padded_cells(_sb_array_shape(plan, s))
-                    for s in range(len(plan.superblocks)))
-        return total >= _BIG_LANE_CELLS
+        return padded >= _BIG_LANE_CELLS
     return True
 
 
@@ -470,7 +469,8 @@ def _lane_solver(plan: MergePlan, tol2_sum: float, maxiter: int,
 
     def xla_loop_lanes(args):
         """Small-lane fallback: vmapped XLA CG over the merged roll+fixup
-        operator (same operator, per-iteration HBM streaming)."""
+        operator (same operator, per-iteration HBM streaming; the same
+        Jacobi(+strip-coarse) preconditioner as the kernel path)."""
         from fluidgym_tpu.solver import linsolve
 
         n_total = sum(int(np.prod(_sb_array_shape(plan, s)))
@@ -479,12 +479,24 @@ def _lane_solver(plan: MergePlan, tol2_sum: float, maxiter: int,
 
         def one(*args1):
             bs, diags, offs, x0s = _split(args1)
+            einv_l = args1[S * per] if coarse is not None else None
 
             def mv(xs):
                 return tuple(_np_roll_matvec(plan, diags, offs, list(xs)))
 
-            precond = ((lambda rr: tuple(r / d for r, d in zip(rr, diags)))
-                       if precondition else None)
+            precond = None
+            if precondition and coarse is not None:
+                from fluidgym_tpu.solver import coarse_strips as cs
+
+                def precond(rr):
+                    z = tuple(r / d for r, d in zip(rr, diags))
+                    xc = jnp.dot(einv_l, cs.restrict(plan, coarse, rr),
+                                 precision=lax.Precision.HIGHEST)
+                    zc = cs.prolong(plan, coarse, xc)
+                    return tuple(zz + cc for zz, cc in zip(z, zc))
+            elif precondition:
+                precond = (lambda rr: tuple(r / d
+                                            for r, d in zip(rr, diags)))
             x, info = linsolve.cg(
                 mv, tuple(bs), x0=tuple(x0s) if warm_start else None,
                 tol=tol, maxiter=maxiter, return_best=return_best,

@@ -191,28 +191,10 @@ def _place_blocks(topo: DomainTopo):
             cf = spec.axes[0]
             seen_pairs.add((b, f))
             seen_pairs.add((c, cf))
-            d, u = face_axis(f), f & 1
-            a0, u0 = cf >> 1, cf & 1
-            # derive c's transform from b's through this seam
-            perm_c = [0] * nd
-            inv_c = [0] * nd
-            perm_c[a0] = pb.perm[d]
-            inv_c[a0] = u0 ^ 1 ^ u ^ pb.inv[d]
-            for i in range(1, nd):
-                k = (d + i) % nd
-                ai, upi = spec.axes[i] >> 1, spec.axes[i] & 1
-                perm_c[ai] = pb.perm[k]
-                inv_c[ai] = pb.inv[k] ^ upi
-            ext_c = _extents(c, tuple(perm_c))
-            # offset: adjacent along canonical axis D, aligned tangentially
-            D = pb.perm[d]
-            off_c = list(pb.offset)
-            if u ^ pb.inv[d]:
-                off_c[D] = pb.offset[D] + pb.shape[D]
-            else:
-                off_c[D] = pb.offset[D] - ext_c[D]
-            cand = Placement(c, tuple(perm_c), tuple(inv_c), tuple(off_c),
-                             ext_c)
+            d = face_axis(f)
+            # the placement this seam implies for the neighbor (shared
+            # derivation with residual-seam classification)
+            cand = _implied_placement(pb, f, spec, _extents)
             if placements[c] is None:
                 placements[c] = cand
                 queue.append(c)
@@ -519,13 +501,9 @@ def merged_apply(plan: MergePlan, merged_ops, ys, xp=None):
         diag, off = merged_ops[si]
         y = diag * ys[si]
         for F in range(2 * nd):
-            d = face_axis(F)
-            ax = _array_axis(nd, d)
-            if xp is np:
-                nbr = np.roll(ys[si], 1 if F % 2 == 0 else -1, axis=ax)
-            else:
-                nbr = xp.roll(ys[si], 1 if F % 2 == 0 else -1, axis=ax)
-            y = y + off[F] * nbr
+            ax = _array_axis(nd, face_axis(F))
+            y = y + off[F] * xp.roll(ys[si], 1 if F % 2 == 0 else -1,
+                                     axis=ax)
         out.append(y)
     for fx in plan.fixups:
         sbp = plan.superblocks[fx.sb]
@@ -536,14 +514,12 @@ def merged_apply(plan: MergePlan, merged_ops, ys, xp=None):
                                   src_sbp.shape)
         # the value the roll wrapped in (to subtract): the opposite edge of
         # the SAME window on this super-block
-        D = face_axis(fx.face)
         wrap_slab = _face_slab_idx(rank, fx.face ^ 1, fx.window, sbp.shape)
-        diag_si, off_si = merged_ops[fx.sb]
+        off_si = merged_ops[fx.sb][1]
         src = ys[fx.src_sb][src_slab]
         for K in range(nd):
             if fx.flip[K]:
-                src = (np.flip if xp is np else xp.flip)(
-                    src, axis=_array_axis(rank, K))
+                src = xp.flip(src, axis=_array_axis(rank, K))
         delta = off_si[fx.face][slab] * (src - ys[fx.sb][wrap_slab])
         out[fx.sb] = _assign(
             xp, out[fx.sb], slab, out[fx.sb][slab] + delta)
