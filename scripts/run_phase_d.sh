@@ -25,6 +25,12 @@ if [ ! -e /tmp/extrap_ab.done ]; then
     && touch /tmp/extrap_ab.done \
     || echo "!!! FAILED: extrap_ab" >> "$LOG"
 fi
+if [ ! -e /tmp/rbc_scaling.done ]; then
+  echo "=== $(date +%H:%M:%S) rbc_scaling ===" >> "$LOG"
+  timeout 2700 python -u scripts/rbc_scaling.py >> "$LOG" 2>&1 \
+    && touch /tmp/rbc_scaling.done \
+    || echo "!!! FAILED: rbc_scaling" >> "$LOG"
+fi
 if [ ! -e /tmp/solve_breakdown.done ]; then
   echo "=== $(date +%H:%M:%S) solve_breakdown ===" >> "$LOG"
   timeout 2700 python -u scripts/solve_breakdown.py >> "$LOG" 2>&1 \
