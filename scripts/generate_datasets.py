@@ -116,8 +116,18 @@ def run_stage1(env, jobs, lanes: int, transient_env=None,
             for lane, ev in enumerate(events):
                 while ev and ev[0][0] == t:
                     _, mode, idx = ev.pop(0)
-                    lane_carry = jax.tree.map(lambda a: a[lane], bcarry)
-                    env._set_pure_carry(jax.device_get(lane_carry))
+                    lane_carry = jax.device_get(
+                        jax.tree.map(lambda a: a[lane], bcarry))
+                    # never save a diverged state: NaNs would poison the
+                    # bundled dataset silently (reset/obs go NaN for every
+                    # user of the config)
+                    if not all(np.isfinite(x).all()
+                               for x in jax.tree.leaves(lane_carry)):
+                        log(f"    !!! lane {lane} NOT FINITE at t={t}; "
+                            f"skipping {mode.value}_{idx:02d} "
+                            f"(burn-in diverged)")
+                        continue
+                    env._set_pure_carry(lane_carry)
                     env._save_initial_domain(mode, idx)
                     log(f"    saved {mode.value}_{idx:02d} at t={t}")
             if t % 200 == 0:
@@ -252,9 +262,13 @@ def main() -> None:
         f"burnin_scale={args.burnin_scale})")
     transient_env = None
     if args.transient_steps > 0:
+        # dt must shrink with step_length: n_sim_steps = max(1, step/dt)
+        # floors at ONE dt-sized sim step, so without this a split call
+        # advances a full dt (0.4 t-units per logical 0.25 step at split 8)
+        split_len = env._step_length / args.transient_split
         transient_env = fluidgym_tpu.make(
-            args.env_id, step_length=env._step_length / args.transient_split,
-            **kw)
+            args.env_id, step_length=split_len,
+            dt=min(env._dt, split_len), **kw)
         transient_env._load_domain_on_reset = False
         transient_env._enable_actions = False
         transient_env.reset(seed=0)
