@@ -99,3 +99,17 @@ def test_batched_plus_spatial(env):
     assert np.isfinite(v).all()
     # every batch element sees the same input -> identical outputs
     np.testing.assert_allclose(v[0], v[-1], rtol=0, atol=1e-6)
+
+
+def test_make_pod_mesh_single_process_matches_make_mesh():
+    """Single-process path: make_pod_mesh == make_mesh over the virtual
+    8-device mesh (the multi-process hybrid path needs a real pod)."""
+    from fluidgym_tpu.parallel.multihost import (initialize_distributed,
+                                                 make_pod_mesh)
+
+    initialize_distributed()  # no-op on one host; must not raise
+    mesh = make_pod_mesh(sp=2)
+    assert mesh.axis_names == ("dp", "sp")
+    assert mesh.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_pod_mesh(dp=100, sp=2)
