@@ -206,5 +206,25 @@ def main() -> None:
     }))
 
 
+def _probe_device() -> None:
+    """Fail fast (exit 2, one JSON error line) when the TPU tunnel is dead:
+    an unreachable device makes the first jax call hang FOREVER, which would
+    wedge the whole driver run.  The probe runs in a subprocess so the
+    timeout actually fires."""
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jax.jit(lambda a: a.sum())(jnp.ones((8, 8)))))")
+    try:
+        subprocess.run([sys.executable, "-c", code], timeout=600,
+                       check=True, capture_output=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(json.dumps({
+            "metric": "cylinder2d_256sq_env_steps_per_sec_batch64",
+            "value": None, "unit": "env_steps/s", "vs_baseline": None,
+            "error": f"device probe failed: {type(e).__name__}",
+        }))
+        sys.exit(2)
+
+
 if __name__ == "__main__":
+    _probe_device()
     main()
