@@ -1,0 +1,94 @@
+"""Long-horizon stability probe for the hard-tier cylinder (Re 500, res 32).
+
+The impulsive-start burn-in must stay finite through the reference's dataset
+horizon (400 burn-in steps + 80 episode steps = t approx 120 at
+step_length 0.25; reference cylinder_env_base.py:138).  Round-2 observation:
+the default solver settings (pressure warm starts + deflation) develop a
+growing shedding oscillation that blows up around t approx 55 at Re 500.
+This script A/Bs candidate mitigations from the same impulsive start.
+
+Usage: python scripts/hard_stability_probe.py [variant ...]
+Variants: default, cold, tol6, cfl4, cold_cfl4
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+VARIANTS = {
+    # name -> SimConfig field overrides
+    "default": {},
+    "cold": {"pressure_warm_start": False, "pressure_deflation": False},
+    "tol6": {"pressure_tol": 1e-6},
+    "cfl4": {"adaptive_cfl": 0.4},
+    "cold_cfl4": {"pressure_warm_start": False, "pressure_deflation": False,
+                  "adaptive_cfl": 0.4},
+}
+
+N_STEPS = 520  # t = 130 at step_length 0.25: past burn-in + episode horizon
+
+
+def run_variant(name: str, overrides: dict) -> dict:
+    import fluidgym_tpu
+    from fluidgym_tpu.envs.cylinder.cylinder_env_base import CylinderEnvBase
+
+    orig = CylinderEnvBase._get_simulation
+
+    def patched(self):
+        return dataclasses.replace(orig(self), **overrides)
+
+    CylinderEnvBase._get_simulation = patched
+    try:
+        env = fluidgym_tpu.make(
+            "CylinderJet2D-hard-v0", load_initial_domain=False,
+            load_domain_statistics=False, randomize_initial_state=False,
+            episode_length=10 ** 9)
+        env.reset(seed=0)
+        act = np.zeros(env.action_space.shape, np.float32)
+        drag_series = []
+        t0 = time.perf_counter()
+        for t in range(1, N_STEPS + 1):
+            _, _, _, _, info = env.step(act)
+            drag = float(np.asarray(info["drag"]).mean())
+            drag_series.append(drag)
+            finite = np.isfinite(drag)
+            if t % 40 == 0 or not finite:
+                print(f"  [{name}] t={t * env.step_length:.1f} drag={drag:.4f}"
+                      f" conv={bool(np.asarray(info['pressure_converged']).all())}"
+                      f" ({t / (time.perf_counter() - t0):.2f} steps/s)",
+                      flush=True)
+            if not finite or abs(drag) > 100.0:
+                return {"variant": name, "stable": False,
+                        "blowup_t": t * env.step_length,
+                        "steps_per_sec": t / (time.perf_counter() - t0)}
+        tail = np.asarray(drag_series[-160:])
+        return {"variant": name, "stable": True,
+                "final_t": N_STEPS * env.step_length,
+                "cd_mean_tail": float(tail.mean()),
+                "cd_rms_tail": float(tail.std()),
+                "steps_per_sec": N_STEPS / (time.perf_counter() - t0)}
+    finally:
+        CylinderEnvBase._get_simulation = orig
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(VARIANTS)
+    results = []
+    for name in names:
+        print(f"=== variant {name}: {VARIANTS[name]} ===", flush=True)
+        results.append(run_variant(name, VARIANTS[name]))
+        print(json.dumps(results[-1]), flush=True)
+    print(json.dumps({"results": results}))
+
+
+if __name__ == "__main__":
+    main()
