@@ -51,15 +51,14 @@ def make_env(overrides: dict):
     def patched(self):
         return dataclasses.replace(orig(self), **overrides)
 
+    # the env re-derives its SimConfig from _get_simulation() on EVERY
+    # reset/set_state/load (fluid_env.py:500,632,749), so the patch must stay
+    # installed for the process lifetime -- one variant per process
     CylinderEnvBase._get_simulation = patched
-    try:
-        env = fluidgym_tpu.make(
-            "CylinderJet2D-hard-v0", load_initial_domain=False,
-            load_domain_statistics=False, randomize_initial_state=False,
-            episode_length=10 ** 9)
-    finally:
-        CylinderEnvBase._get_simulation = orig
-    return env
+    return fluidgym_tpu.make(
+        "CylinderJet2D-hard-v0", load_initial_domain=False,
+        load_domain_statistics=False, randomize_initial_state=False,
+        episode_length=10 ** 9)
 
 
 def roll(env, n_steps: int, label: str, log_every: int = 10):
