@@ -35,10 +35,14 @@ SNAP = Path("/tmp/hard_base_snapshot.pkl")
 BASE_STEPS = 170  # t = 42.5: growing oscillation, still well before blow-up
 
 VARIANTS = {
-    "control": {},  # must blow up within ~70 steps if the snapshot is good
+    # every field pinned explicitly so variants mean the same thing
+    # regardless of the env's (Reynolds-gated) defaults
+    "control": {"pressure_warm_start": True, "pressure_deflation": True},
     "cold": {"pressure_warm_start": False, "pressure_deflation": False},
-    "deflation_only": {"pressure_warm_start": False},
-    "tol6": {"pressure_tol": 1e-6},
+    "deflation_only": {"pressure_warm_start": False,
+                       "pressure_deflation": True},
+    "tol6": {"pressure_warm_start": True, "pressure_deflation": True,
+             "pressure_tol": 1e-6},
 }
 
 

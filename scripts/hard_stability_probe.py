@@ -25,13 +25,34 @@ sys.path.insert(0, str(REPO))
 import numpy as np
 
 VARIANTS = {
-    # name -> SimConfig field overrides
+    # name -> SimConfig field overrides; warm/deflation pinned explicitly so
+    # variants mean the same thing regardless of the env's (Reynolds-gated)
+    # defaults
     "default": {},
+    "warm": {"pressure_warm_start": True, "pressure_deflation": True},
     "cold": {"pressure_warm_start": False, "pressure_deflation": False},
-    "tol6": {"pressure_tol": 1e-6},
+    # pure coarse (deflation) starts each solve: no cross-substep inheritance
+    "deflation_only": {"pressure_warm_start": False,
+                       "pressure_deflation": True},
+    "tol6": {"pressure_warm_start": True, "pressure_deflation": True,
+             "pressure_tol": 1e-6},
     "cfl4": {"adaptive_cfl": 0.4},
     "cold_cfl4": {"pressure_warm_start": False, "pressure_deflation": False,
                   "adaptive_cfl": 0.4},
+    "cfl4_warm": {"pressure_warm_start": True, "pressure_deflation": True,
+                  "adaptive_cfl": 0.4},
+    # diagnostic only (drops the non-orthogonal coupling entirely; not a
+    # shippable configuration on this grid)
+    "no_nonortho": {"non_orthogonal": False},
+    # inner deferred non-ortho passes: control the lag error the pressure
+    # tolerance cannot see (cold cross-substep starts to isolate the effect)
+    "nonortho2": {"pressure_warm_start": False, "pressure_deflation": False,
+                  "pressure_non_ortho_steps": 2},
+    "nonortho3": {"pressure_warm_start": False, "pressure_deflation": False,
+                  "pressure_non_ortho_steps": 3},
+    "nonortho2_warm": {"pressure_warm_start": True,
+                       "pressure_deflation": True,
+                       "pressure_non_ortho_steps": 2},
 }
 
 N_STEPS = 520  # t = 130 at step_length 0.25: past burn-in + episode horizon

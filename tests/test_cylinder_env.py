@@ -139,3 +139,4 @@ def test_local_2d_obs_matches_2d_env_shapes():
     for key in obs2d:
         assert obs3d[key].shape == (env3d.n_agents, *obs2d[key].shape), key
         assert np.isfinite(np.asarray(obs3d[key])).all()
+

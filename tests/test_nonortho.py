@@ -158,3 +158,40 @@ def test_flux_form_matches_direct_deferred_on_periodic_domain():
         (x,), geoms, topo, ras, field="pressure", include_direct=True)[0]
     np.testing.assert_allclose(
         np.asarray(S_flux), np.asarray(S_direct), rtol=0, atol=5e-5)
+
+
+def test_pressure_non_ortho_passes_reduce_divergence():
+    """The pressure tolerance only controls the ORTHOGONAL operator's
+    residual; the deferred cross-term correction lags one iterate.  Inner
+    non-ortho passes (SimConfig.pressure_non_ortho_steps, the reference's
+    pstep loop, PISOtorch_simulation.py:1841) rebuild the deferred RHS from
+    the fresh solution and re-solve -- on a sheared grid the post-substep
+    velocity divergence must drop markedly and saturate."""
+    import fluidgym_tpu.solver.piso as piso
+
+    n, shear = 32, 0.35
+    base = geo.make_uniform_grid((n, n), (0.0, 0.0), (1.0, 1.0))
+    coords = base.copy()
+    coords[0] = base[0] + shear * base[1]
+    dom = DomainBuilder(ndims=2, viscosity=0.01)
+    blk = dom.create_block(coords)
+    for f in range(4):
+        blk.close_boundary(f)
+    x = (np.arange(n) + 0.5) / n
+    X, Y = np.meshgrid(x, x, indexing="xy")
+    u = np.sin(np.pi * X) ** 2 * np.cos(np.pi * Y) * np.sin(np.pi * Y)
+    v = -np.cos(np.pi * X) * np.sin(np.pi * X) * np.sin(np.pi * Y) ** 2
+    blk.set_velocity(0.5 * np.stack([u, v]))
+    topo, geoms, state = dom.build()
+
+    def div_after(k):
+        cfg = piso.SimConfig(dt=0.02, substeps=1, non_orthogonal=True,
+                             pressure_tol=1e-8, pressure_non_ortho_steps=k)
+        s2 = jax.jit(lambda s, c=cfg: piso.piso_substep(
+            s, geoms, topo, c, jnp.asarray(0.02, jnp.float32)))(state)
+        d = st.velocity_divergence(s2, geoms, topo)[0]
+        return float(jnp.sqrt(jnp.mean(d * d)))
+
+    d1, d3, d6 = div_after(1), div_after(3), div_after(6)
+    assert d3 < 0.6 * d1, (d1, d3)          # passes pay off
+    assert d6 < d3 * 1.5 + 1e-12, (d3, d6)  # and saturate (no divergence)
