@@ -7,12 +7,14 @@ the default solver settings (pressure warm starts + deflation) develop a
 growing shedding oscillation that blows up around t approx 55 at Re 500.
 This script A/Bs candidate mitigations from the same impulsive start.
 
-Usage: python scripts/hard_stability_probe.py [variant ...]
-Variants: default, cold, tol6, cfl4, cold_cfl4
+Usage: python scripts/hard_stability_probe.py [--res N] [--steps N] [variant ...]
+(--res overrides the grid resolution: the instability reproduces faster on
+coarser grids, letting remedy variants be screened cheaply on CPU.)
 """
 
 from __future__ import annotations
 
+import argparse
 import dataclasses
 import json
 import sys
@@ -53,12 +55,21 @@ VARIANTS = {
     "nonortho2_warm": {"pressure_warm_start": True,
                        "pressure_deflation": True,
                        "pressure_non_ortho_steps": 2},
+    # multigrid-preconditioned CG: reaches tolerances Jacobi-CG stalls on
+    # (the conv=False stalls appear right before the hard-tier blow-up)
+    "mg_cold": {"pressure_warm_start": False, "pressure_deflation": False,
+                "pressure_multigrid": True},
+    "tol6_nonortho2": {"pressure_warm_start": False,
+                       "pressure_deflation": False,
+                       "pressure_tol": 1e-6,
+                       "pressure_non_ortho_steps": 2},
 }
 
 N_STEPS = 520  # t = 130 at step_length 0.25: past burn-in + episode horizon
 
 
-def run_variant(name: str, overrides: dict) -> dict:
+def run_variant(name: str, overrides: dict, res: int | None = None,
+                n_steps: int = N_STEPS) -> dict:
     import fluidgym_tpu
     from fluidgym_tpu.envs.cylinder.cylinder_env_base import CylinderEnvBase
 
@@ -67,17 +78,18 @@ def run_variant(name: str, overrides: dict) -> dict:
     def patched(self):
         return dataclasses.replace(orig(self), **overrides)
 
+    kw = {} if res is None else {"resolution": res}
     CylinderEnvBase._get_simulation = patched
     try:
         env = fluidgym_tpu.make(
             "CylinderJet2D-hard-v0", load_initial_domain=False,
             load_domain_statistics=False, randomize_initial_state=False,
-            episode_length=10 ** 9)
+            episode_length=10 ** 9, **kw)
         env.reset(seed=0)
         act = np.zeros(env.action_space.shape, np.float32)
         drag_series = []
         t0 = time.perf_counter()
-        for t in range(1, N_STEPS + 1):
+        for t in range(1, n_steps + 1):
             _, _, _, _, info = env.step(act)
             drag = float(np.asarray(info["drag"]).mean())
             drag_series.append(drag)
@@ -93,20 +105,27 @@ def run_variant(name: str, overrides: dict) -> dict:
                         "steps_per_sec": t / (time.perf_counter() - t0)}
         tail = np.asarray(drag_series[-160:])
         return {"variant": name, "stable": True,
-                "final_t": N_STEPS * env.step_length,
+                "final_t": n_steps * env.step_length,
                 "cd_mean_tail": float(tail.mean()),
                 "cd_rms_tail": float(tail.std()),
-                "steps_per_sec": N_STEPS / (time.perf_counter() - t0)}
+                "steps_per_sec": n_steps / (time.perf_counter() - t0)}
     finally:
         CylinderEnvBase._get_simulation = orig
 
 
 def main() -> None:
-    names = sys.argv[1:] or list(VARIANTS)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("variants", nargs="*", default=list(VARIANTS))
+    ap.add_argument("--res", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=N_STEPS)
+    args = ap.parse_args()
+    names = args.variants or list(VARIANTS)
     results = []
     for name in names:
-        print(f"=== variant {name}: {VARIANTS[name]} ===", flush=True)
-        results.append(run_variant(name, VARIANTS[name]))
+        print(f"=== variant {name}: {VARIANTS[name]}"
+              f" res={args.res or 'default'} ===", flush=True)
+        results.append(run_variant(name, VARIANTS[name], res=args.res,
+                                   n_steps=args.steps))
         print(json.dumps(results[-1]), flush=True)
     print(json.dumps({"results": results}))
 
