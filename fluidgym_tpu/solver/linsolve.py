@@ -202,12 +202,18 @@ def bicgstab(
     maxiter: int = 5000,
     return_best: bool = True,
     stall_iters: int = 250,
+    precond: Callable[[Vec], Vec] | None = None,
 ) -> tuple[Vec, SolveInfo]:
     """BiCGStab for non-symmetric matrix-free operators (advection systems).
 
     ``b`` may be an array or a pytree of arrays.  Mirrors the unpreconditioned
     path of bicgstab_solver_kernel.cu (the reference default:
     Simulation.preconditionBiCG=False).
+
+    ``precond``: optional RIGHT preconditioner ``K^-1 r`` (e.g. Jacobi for
+    the full non-orthogonal pressure system).  Right preconditioning keeps
+    ``r`` the TRUE residual, so the stopping criterion, stall tracking and
+    return-best logic are unchanged.
     """
     dt = _dtype(b)
     if tol is None:
@@ -233,18 +239,21 @@ def bicgstab(
         # per-lane freeze under vmap (see cg); no-op in the unbatched path
         done = jnp.logical_or(rs <= tol2_sum, it - best_it >= stall_iters)
         not_done = jnp.logical_not(done)
-        v = matvec(p)
+        p_hat = precond(p) if precond is not None else p
+        v = matvec(p_hat)
         denom = _vdot(r_hat, v).astype(dt)
         alpha = jnp.where(
             done, jnp.asarray(0, dt),
             rho / jnp.where(jnp.abs(denom) < tiny, tiny, denom))
         s = _axpy(-alpha, v, r)
-        t = matvec(s)
+        s_hat = precond(s) if precond is not None else s
+        t = matvec(s_hat)
         tt = _vdot(t, t).astype(dt)
         omega = jnp.where(
             done, jnp.asarray(0, dt),
             _vdot(t, s).astype(dt) / jnp.where(tt < tiny, tiny, tt))
-        x = jax.tree.map(lambda xx, pp, ss: xx + alpha * pp + omega * ss, x, p, s)
+        x = jax.tree.map(
+            lambda xx, pp, ss: xx + alpha * pp + omega * ss, x, p_hat, s_hat)
         r = _axpy(-omega, t, s)
         rho_new = jnp.where(done, rho, _vdot(r_hat, r).astype(dt))
         beta = jnp.where(

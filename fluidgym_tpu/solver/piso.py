@@ -149,6 +149,13 @@ class SimConfig:
     # (validated in __post_init__)
     pressure_use_bicg: bool = False
     advect_passive_scalar: bool = True
+    # Upwind blend factor for the VELOCITY advection matrix (stencil.
+    # build_advection_ops): 0 = the reference's central face interpolation,
+    # 1 = first-order upwind.  Bounded stabilization for tiers whose cell
+    # Peclet number makes the central scheme oscillate (documented
+    # deviation; the reference is central-only and relies on fp64 solver
+    # fallbacks it cannot disable).
+    advection_upwind_blend: float = 0.0
     non_orthogonal: bool = False
     # Inner deferred non-orthogonal passes per pressure corrector (reference
     # pressure_non_ortho_steps, cylinder_env_base.py:316-317: 1 in 2D, 4 in
@@ -157,6 +164,23 @@ class SimConfig:
     # the part of the pressure error the tolerance cannot see -- the
     # one-iterate lag of the deferred correction -- shrinks geometrically.
     pressure_non_ortho_steps: int = 1
+    # Solve the FULL non-orthogonal pressure system in one Krylov solve:
+    # the matvec is the orthogonal stencil PLUS the flux-form cross-term
+    # map (nonortho.deferred_rhs_flux applied to the UNKNOWN), so no part
+    # of the cross coupling lags an iterate and the solver tolerance
+    # controls the complete residual.  The operator is mildly non-symmetric
+    # (~5% skew) -> Jacobi-preconditioned BiCGStab; deflation/coarse/
+    # multigrid (CG-only) must be off.  This is STRONGER than the
+    # reference's NON_ORTHO_MODE = CENTER_MATRIX|DIRECT_MATRIX|DIAGONAL_RHS
+    # (PISOtorch_simulation.py:479-486): the reference still defers the
+    # DIAGONAL corner terms, and its corner-form assembly measures
+    # indefinite on the O-grid (min sym-eig -1.5e-3 at res 8) where the
+    # flux-form total operator is PSD + constant null mode.  Default False:
+    # the exactly-SPD fully-deferred form is faster and stable on the
+    # easy/medium tiers; full mode is for the high-Re tiers where the
+    # one-iterate deferred-correction lag on strong O-grid cross terms
+    # (|beta|/|alpha| ~ 2.2) destabilizes the PISO coupling.
+    pressure_non_ortho_full: bool = False
     max_substeps: int = 1000
     # True: wrap solves in lax.custom_linear_solve (implicit-function VJP,
     # reverse-differentiable). False: direct Krylov loops with WARM STARTS
@@ -234,16 +258,22 @@ class SimConfig:
                 "only the FD velocity corrector is implemented (the reference "
                 "env presets all use velocity_corrector='FD')"
             )
-        if self.pressure_use_bicg and (
+        if (self.pressure_use_bicg or self.pressure_full_mode) and (
             self.pressure_deflation or self.pressure_coarse_precondition
             or self.pressure_multigrid
         ):
             raise ValueError(
                 "pressure_deflation / pressure_coarse_precondition / "
                 "pressure_multigrid require the CG pressure solver "
-                "(pressure_use_bicg=False); BiCGStab has no "
-                "deflation/preconditioning support"
+                "(pressure_use_bicg=False and pressure_non_ortho_full="
+                "False); BiCGStab has no deflation/coarse support"
             )
+
+    @property
+    def pressure_full_mode(self) -> bool:
+        """True when the pressure solve carries the FULL non-orthogonal
+        cross-term map inside the matvec (non-symmetric -> BiCGStab)."""
+        return self.non_orthogonal and self.pressure_non_ortho_full
 
 
 def _run_hooks(hooks: Hooks | None, name: str, state: DomainState, **kw) -> DomainState:
@@ -318,7 +348,8 @@ def _posthoc_info(mv, b, x, tol) -> linsolve.SolveInfo:
 def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
            return_best, differentiable=True, x0=None, precondition=False,
            x0_fn=None, stall_iters=250, coarse_fn=None,
-           precond_override=None, coarse_strips=False):
+           precond_override=None, coarse_strips=False,
+           matvec_extra=None):
     """Differentiable global linear solve over all blocks; returns
     ``(x, SolveInfo)`` -- the convergence metadata the reference surfaces as
     ``LinearSolverResultInfo`` / raises as ``LinsolveError``
@@ -336,8 +367,19 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
     aggregate and keeps a single Krylov loop on-device.
     """
 
-    def mv(xs):
-        return st.domain_apply(ops, xs, topo)
+    if matvec_extra is not None:
+        # additional LINEAR term beyond the stencil operator (the full
+        # non-orthogonal pressure coupling, nonortho.deferred_rhs_flux as a
+        # map of the unknown); non-symmetric, so requires use_bicg
+        assert use_bicg and not symmetric
+
+        def mv(xs):
+            ax = st.domain_apply(ops, xs, topo)
+            ex = matvec_extra(xs)
+            return tuple(a + e for a, e in zip(ax, ex))
+    else:
+        def mv(xs):
+            return st.domain_apply(ops, xs, topo)
 
     tol_resolved = (tol if tol is not None
                     else linsolve.default_tolerance(
@@ -466,17 +508,20 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
     if not differentiable:
         return linsolve.bicgstab(mv, b, x0=x0, tol=tol, maxiter=maxiter,
                                  return_best=return_best,
-                                 stall_iters=stall_iters)
+                                 stall_iters=stall_iters, precond=precond_fn)
 
     def solve_fn(mv_fn, bb):
         return linsolve.bicgstab(mv_fn, bb, tol=tol, maxiter=maxiter,
                                  return_best=return_best,
-                                 stall_iters=stall_iters)[0]
+                                 stall_iters=stall_iters,
+                                 precond=precond_fn)[0]
 
     def tsolve_fn(vecmat, bb):
+        # diag(A^T) = diag(A): the same Jacobi preconditioner applies
         return linsolve.bicgstab(vecmat, bb, tol=tol, maxiter=maxiter,
                                  return_best=return_best,
-                                 stall_iters=stall_iters)[0]
+                                 stall_iters=stall_iters,
+                                 precond=precond_fn)[0]
 
     x = lax.custom_linear_solve(mv, b, solve_fn, tsolve_fn)
     return x, _posthoc_info(mv, b, x, tol_resolved)
@@ -694,7 +739,8 @@ def piso_substep_info(
     # ---- velocity prediction (PISOtorch_simulation.py:1646-1762) ----------
     state = _run_hooks(hooks, "PRE_VELOCITY_SETUP", state, time_step=dt)
     nu = state.viscosity
-    adv_ops = st.build_advection_ops(state, geoms, topo, nu, dt)
+    adv_ops = st.build_advection_ops(
+        state, geoms, topo, nu, dt, upwind=cfg.advection_upwind_blend)
     vel_rhs = st.advection_rhs_velocity(state, geoms, topo, nu, dt)
     if cfg.non_orthogonal:
         # per-cell viscosity (SGS hooks set blocks[b].viscosity) must reach
@@ -735,18 +781,28 @@ def piso_substep_info(
 
     # ---- corrector loop (PISOtorch_simulation.py:1777-1972) ---------------
     adiags = tuple(op.diag for op in adv_ops)
-    # the pressure matrix stays purely orthogonal (exactly SPD -> CG-safe);
-    # ALL non-orthogonal pressure coupling is deferred to the RHS below
+    # default: the pressure matrix stays purely orthogonal (exactly SPD ->
+    # CG-safe) and ALL non-orthogonal pressure coupling is deferred to the
+    # RHS below; full mode (cfg.pressure_non_ortho_full) instead solves the
+    # complete non-orthogonal system in one BiCGStab solve, with the
+    # flux-form cross-term map inside the matvec (no deferred lag at all)
     p_ops = st.build_pressure_ops(adiags, geoms, topo)
+    p_use_bicg = cfg.pressure_use_bicg or cfg.pressure_full_mode
+    p_matvec_extra = None
     if cfg.non_orthogonal:
         inv_a = tuple(1.0 / a for a in adiags)
+        if cfg.pressure_full_mode:
+            def p_matvec_extra(xs, _inv_a=inv_a):
+                # sign: the corrector solves P p = -(div0 + S(p)), i.e.
+                # (P + S_map) p = -div0 with S_map = deferred_rhs_flux(.)
+                return nonortho.deferred_rhs_flux(xs, geoms, topo, _inv_a)
     pressures = tuple(blk.pressure for blk in state.blocks)
     # extrapolated first-corrector warm start (see cfg.pressure_extrapolate):
     # pick extrapolated-vs-plain by actual residual once the RHS is known
     extrap = None
     if (cfg.pressure_extrapolate and prev is not None
             and (cfg.pressure_warm_start or cfg.pressure_deflation)
-            and not cfg.pressure_use_bicg):
+            and not p_use_bicg):
         p_prev, dt_prev = prev
         scale = (dt / jnp.maximum(jnp.abs(dt_prev), jnp.asarray(1e-30, dtype))
                  ).astype(dtype)
@@ -756,7 +812,7 @@ def piso_substep_info(
     coarse_fn = None
     mg_fn = None
     if ((cfg.pressure_deflation or cfg.pressure_coarse_precondition
-         or cfg.pressure_multigrid) and not cfg.pressure_use_bicg):
+         or cfg.pressure_multigrid) and not p_use_bicg):
         # differentiable mode: the setup only shapes guesses/convergence
         # (the converged solution -- hence the gradient -- is independent of
         # both, and _solve stop_gradients the guesses) -- keep the setup
@@ -799,13 +855,17 @@ def piso_substep_info(
         # Re-building the deferred RHS from the fresh solution and re-solving
         # shrinks that lag geometrically; pass k>0 warm-starts from pass k-1
         # (within-substep reuse -- the reference's pstep>0 x=pressureResult).
-        n_ortho = cfg.pressure_non_ortho_steps if cfg.non_orthogonal else 1
+        n_ortho = (cfg.pressure_non_ortho_steps
+                   if cfg.non_orthogonal and not cfg.pressure_full_mode
+                   else 1)
         for pstep in range(n_ortho):
             div = div0
-            if cfg.non_orthogonal:
+            if cfg.non_orthogonal and not cfg.pressure_full_mode:
                 # deferred pressure correction from the previous iterate
-                # (k_pressureRHSaddNonOrthoComponents, kernel.cu:5471-5492)
-                Sp = nonortho.deferred_rhs_flux(pressures, geoms, topo, inv_a)
+                # (k_pressureRHSaddNonOrthoComponents, kernel.cu:5471-5492);
+                # full mode needs no deferral (cross terms in the matvec)
+                Sp = nonortho.deferred_rhs_flux(
+                    pressures, geoms, topo, inv_a)
                 div = tuple(d + s for d, s in zip(div0, Sp))
             if cfg.pressure_time_step_normalized:
                 div = tuple(d / dt for d in div)
@@ -845,8 +905,9 @@ def piso_substep_info(
             pressures, p_info = _solve(
                 p_ops, rhs_p, topo,
                 tol=cfg.pressure_tol, maxiter=cfg.pressure_maxiter,
-                symmetric=not cfg.pressure_use_bicg,
-                use_bicg=cfg.pressure_use_bicg,
+                symmetric=not p_use_bicg,
+                use_bicg=p_use_bicg,
+                matvec_extra=p_matvec_extra,
                 return_best=cfg.pressure_return_best_result,
                 differentiable=cfg.differentiable,
                 x0=base
@@ -1141,12 +1202,17 @@ def make_divergence_free(
     # corrector loop's treatment (fixed hbyA, deferred RHS from the previous
     # TOTAL pressure iterate of THIS A=1 system, velocity corrected from the
     # original field with the final pressure)
-    n_inner = 2 if cfg.non_orthogonal else 1
+    n_inner = 2 if cfg.non_orthogonal and not cfg.pressure_full_mode else 1
     nblocks = len(topo.blocks)
     one = jnp.asarray(1.0, state.blocks[0].velocity.dtype)
     adiags = tuple(jnp.ones_like(g.det) for g in geoms)
     p_ops = st.build_pressure_ops(adiags, geoms, topo)
     inv_a = tuple(jnp.ones_like(g.det) for g in geoms)
+    p_use_bicg = cfg.pressure_use_bicg or cfg.pressure_full_mode
+    p_matvec_extra = None
+    if cfg.pressure_full_mode:
+        def p_matvec_extra(xs, _inv_a=inv_a):
+            return nonortho.deferred_rhs_flux(xs, geoms, topo, _inv_a)
 
     for _ in range(iterations):
         state = _run_hooks(hooks, "PRE", state, time_step=one)
@@ -1155,7 +1221,7 @@ def make_divergence_free(
         proj_p = tuple(jnp.zeros_like(blk.pressure) for blk in state.blocks)
         for _inner in range(n_inner):
             div = div0
-            if cfg.non_orthogonal:
+            if cfg.non_orthogonal and not cfg.pressure_full_mode:
                 Sp = nonortho.deferred_rhs_flux(proj_p, geoms, topo, inv_a)
                 div = tuple(d + sp for d, sp in zip(div0, Sp))
             rhs_p = tuple(-d for d in div)
@@ -1165,7 +1231,8 @@ def make_divergence_free(
             pressures, _proj_info = _solve(
                 p_ops, rhs_p, topo,
                 tol=cfg.pressure_tol, maxiter=maxiter,
-                symmetric=True, use_bicg=False,
+                symmetric=not p_use_bicg, use_bicg=p_use_bicg,
+                matvec_extra=p_matvec_extra,
                 return_best=cfg.pressure_return_best_result,
                 differentiable=cfg.differentiable,
                 precondition=cfg.pressure_precondition,

@@ -358,10 +358,19 @@ def build_advection_ops(
     dt: Array,
     for_scalar: bool = False,
     scalar_channel: int = 0,
+    upwind: float = 0.0,
 ) -> tuple[StencilOp, ...]:
     """Implicit-Euler advection-diffusion matrix for all blocks
     (PISO_build_matrix).  Coefficients are already divided by ``det``.
     ``nu``: kinematic viscosity (velocity) or diffusivity (scalar channel).
+
+    ``upwind``: blend factor gamma in [0, 1] between the reference's central
+    face interpolation (gamma=0, kernel.cu:3719-3723) and first-order upwind
+    (gamma=1): ``phi_f = (1-gamma) * 0.5 (phi_P + phi_N) + gamma * phi_up``.
+    Algebraically this adds ``gamma * |0.5 s F|`` to the diagonal and
+    subtracts it from the face coefficient -- a flux-proportional bounded
+    stabilization for high cell-Peclet tiers (documented deviation: the
+    reference is central-only).
     """
     ndims = topo.ndims
     Cs = _contravariants(state, geoms, topo)
@@ -388,8 +397,9 @@ def build_advection_ops(
                 halo_a = _halo_axis_component(alpha_nu, spec, f, ndims)
                 an_n = an_n.at[_face_slab(an_n.ndim, f)].set(halo_a)
             visc = 0.5 * (alpha_nu[b][d] + an_n)
-            off = adv - visc
-            diag_c = adv + visc
+            au = upwind * jnp.abs(adv) if upwind else 0.0
+            off = adv - au - visc
+            diag_c = adv + au + visc
             if spec.kind == BoundKind.FIXED:
                 slab = _face_slab(off.ndim, f)
                 off = off.at[slab].set(0.0)

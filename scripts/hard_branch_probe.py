@@ -43,6 +43,19 @@ VARIANTS = {
                        "pressure_deflation": True},
     "tol6": {"pressure_warm_start": True, "pressure_deflation": True,
              "pressure_tol": 1e-6},
+    # upwind-blended velocity advection (stencil.build_advection_ops):
+    # bounded stabilization for the Re-500 cell-Peclet oscillation
+    "upwind1": {"pressure_warm_start": True, "pressure_deflation": True,
+                "advection_upwind_blend": 1.0},
+    "upwind05": {"pressure_warm_start": True, "pressure_deflation": True,
+                 "advection_upwind_blend": 0.5},
+    "upwind02": {"pressure_warm_start": True, "pressure_deflation": True,
+                 "advection_upwind_blend": 0.2},
+    # full non-orthogonal pressure solve (no deferred lag) on top of upwind
+    "upwind05_full": {"pressure_warm_start": False,
+                      "pressure_deflation": False,
+                      "advection_upwind_blend": 0.5,
+                      "pressure_non_ortho_full": True},
 }
 
 
@@ -70,7 +83,11 @@ def roll(env, n_steps: int, label: str, log_every: int = 10):
     drags = []
     t0 = time.perf_counter()
     for t in range(1, n_steps + 1):
-        _, _, _, _, info = env.step(act)
+        try:
+            _, _, _, _, info = env.step(act)
+        except FloatingPointError as e:
+            print(f"  [{label}] +{t} solver-health abort: {e}", flush=True)
+            return drags, False
         drag = float(np.asarray(info["drag"]).mean())
         drags.append(drag)
         if t % log_every == 0 or not np.isfinite(drag):

@@ -63,6 +63,14 @@ VARIANTS = {
                        "pressure_deflation": False,
                        "pressure_tol": 1e-6,
                        "pressure_non_ortho_steps": 2},
+    # FULL non-orthogonal pressure solve (flux-form cross terms inside the
+    # BiCGStab matvec; no deferred-iterate lag): strictly stronger than the
+    # reference's NON_ORTHO_*_MATRIX mode, whose corner-form assembly
+    # measures indefinite on the O-grid (see solver/piso.py docstring)
+    "full": {"pressure_warm_start": False, "pressure_deflation": False,
+             "pressure_non_ortho_full": True},
+    "full_warm": {"pressure_warm_start": True, "pressure_deflation": False,
+                  "pressure_non_ortho_full": True},
 }
 
 N_STEPS = 520  # t = 130 at step_length 0.25: past burn-in + episode horizon
@@ -90,7 +98,16 @@ def run_variant(name: str, overrides: dict, res: int | None = None,
         drag_series = []
         t0 = time.perf_counter()
         for t in range(1, n_steps + 1):
-            _, _, _, _, info = env.step(act)
+            try:
+                _, _, _, _, info = env.step(act)
+            except FloatingPointError as e:
+                # the env's solver-health guard (LinsolveError analogue)
+                print(f"  [{name}] t={t * env.step_length:.1f} "
+                      f"solver-health abort: {e}", flush=True)
+                return {"variant": name, "stable": False,
+                        "blowup_t": t * env.step_length,
+                        "abort": "solver_health",
+                        "steps_per_sec": t / (time.perf_counter() - t0)}
             drag = float(np.asarray(info["drag"]).mean())
             drag_series.append(drag)
             finite = np.isfinite(drag)

@@ -195,3 +195,101 @@ def test_pressure_non_ortho_passes_reduce_divergence():
     d1, d3, d6 = div_after(1), div_after(3), div_after(6)
     assert d3 < 0.6 * d1, (d1, d3)          # passes pay off
     assert d6 < d3 * 1.5 + 1e-12, (d3, d6)  # and saturate (no divergence)
+
+
+def test_pressure_matrix_terms_match_direct_deferred():
+    """Matrix mode (SimConfig.pressure_non_ortho_matrix) moves the
+    DIRECT+CENTER cross terms from the deferred RHS into the operator
+    (the reference's NON_ORTHO_CENTER_MATRIX|DIRECT_MATRIX|DIAGONAL_RHS,
+    PISOtorch_simulation.py:479-486).  Both formulations must share the
+    same fixed point, which requires C_mat x == S_full(x) - S_diag(x)
+    for any x (no walls here, so corner one-sided variants are inert)."""
+    n = 12
+    xs0 = np.linspace(0.0, 1.0, n + 1)
+    ys0 = np.linspace(0.0, 1.0, n + 1)
+    X, Y = np.meshgrid(xs0, ys0, indexing="xy")
+    coords = np.stack([X + 0.3 * Y, Y], axis=0)
+    dom = DomainBuilder(ndims=2, viscosity=1e-3)
+    dom.create_block(coords)  # fully periodic
+    topo, geoms, state = dom.build()
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    ones = (jnp.ones_like(geoms[0].det),)
+    adiags = ones
+    p_ops = st.build_pressure_ops(adiags, geoms, topo)
+    p_ops_no = nonortho.apply_matrix_terms(
+        p_ops, geoms, topo, ones, det_divide=False, field="pressure")
+
+    # the corrector uses: P p = -div - S  (rhs negated), so the matrix
+    # contribution C_mat must satisfy C_mat x = S_full(x) - S_diag(x)
+    # with the S sign convention of the corrector (div + S)
+    c_mat_x = (st.domain_apply(p_ops_no, (x,), topo)[0]
+               - st.domain_apply(p_ops, (x,), topo)[0])
+    S_full = nonortho.deferred_rhs(
+        (x,), geoms, topo, ones, field="pressure", include_direct=True)[0]
+    S_diag = nonortho.deferred_rhs(
+        (x,), geoms, topo, ones, field="pressure", include_direct=False)[0]
+    np.testing.assert_allclose(
+        np.asarray(c_mat_x), np.asarray(S_full - S_diag), rtol=0, atol=5e-5)
+
+
+def test_pressure_full_mode_substep():
+    """A PISO substep with the FULL non-orthogonal pressure system
+    (SimConfig.pressure_non_ortho_full: flux-form cross terms inside the
+    BiCGStab matvec, no deferred lag) must produce a post-substep
+    divergence at least as good as the deferred form's saturated inner
+    passes, on a sheared grid."""
+    import fluidgym_tpu.solver.piso as piso
+
+    n, shear = 32, 0.35
+    base = geo.make_uniform_grid((n, n), (0.0, 0.0), (1.0, 1.0))
+    coords = base.copy()
+    coords[0] = base[0] + shear * base[1]
+    dom = DomainBuilder(ndims=2, viscosity=0.01)
+    blk = dom.create_block(coords)
+    for f in range(4):
+        blk.close_boundary(f)
+    x = (np.arange(n) + 0.5) / n
+    X, Y = np.meshgrid(x, x, indexing="xy")
+    u = np.sin(np.pi * X) ** 2 * np.cos(np.pi * Y) * np.sin(np.pi * Y)
+    v = -np.cos(np.pi * X) * np.sin(np.pi * X) * np.sin(np.pi * Y) ** 2
+    blk.set_velocity(0.5 * np.stack([u, v]))
+    topo, geoms, state = dom.build()
+
+    def div_after(**kw):
+        cfg = piso.SimConfig(dt=0.02, substeps=1, non_orthogonal=True,
+                             pressure_tol=1e-8, **kw)
+        s2 = jax.jit(lambda s, c=cfg: piso.piso_substep(
+            s, geoms, topo, c, jnp.asarray(0.02, jnp.float32)))(state)
+        d = st.velocity_divergence(s2, geoms, topo)[0]
+        return float(jnp.sqrt(jnp.mean(d * d)))
+
+    d_deferred1 = div_after(pressure_non_ortho_steps=1)
+    d_deferred3 = div_after(pressure_non_ortho_steps=3)
+    d_full = div_after(pressure_non_ortho_full=True)
+    assert np.isfinite(d_full)
+    # the full solve has NO iterate lag: it must beat one deferred pass
+    # and land at (or below) the saturated-inner-pass level
+    assert d_full < d_deferred1, (d_full, d_deferred1)
+    assert d_full < 1.5 * d_deferred3, (d_full, d_deferred3)
+
+
+def test_full_mode_operator_preserves_constants():
+    """The flux-form cross-term map annihilates constants (tangential
+    central differences of a constant vanish; FIXED faces carry no flux),
+    so the full pressure operator keeps the Neumann constant null mode --
+    the solvability-projection (mean removal) stays valid in full mode."""
+    n = 12
+    xs0 = np.linspace(0.0, 1.0, n + 1)
+    ys0 = np.linspace(0.0, 1.0, n + 1)
+    X, Y = np.meshgrid(xs0, ys0, indexing="xy")
+    coords = np.stack([X + 0.3 * Y, Y], axis=0)
+    dom = DomainBuilder(ndims=2, viscosity=1e-3)
+    blk = dom.create_block(coords)
+    for f in range(4):
+        blk.close_boundary(f)
+    topo, geoms, state = dom.build()
+    ones = (jnp.ones_like(geoms[0].det),)
+    S = nonortho.deferred_rhs_flux(ones, geoms, topo, ones)[0]
+    assert float(jnp.abs(S).max()) < 1e-6
