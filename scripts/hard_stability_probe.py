@@ -71,6 +71,15 @@ VARIANTS = {
              "pressure_non_ortho_full": True},
     "full_warm": {"pressure_warm_start": True, "pressure_deflation": False,
                   "pressure_non_ortho_full": True},
+    # upwind-blended velocity advection (the fix that works: the Re-500
+    # blow-up is the central scheme's cell-Peclet oscillation, not the
+    # pressure treatment); warm+deflation kept as in the default config
+    "upwind02": {"pressure_warm_start": True, "pressure_deflation": True,
+                 "advection_upwind_blend": 0.2},
+    "upwind03": {"pressure_warm_start": True, "pressure_deflation": True,
+                 "advection_upwind_blend": 0.3},
+    "upwind05": {"pressure_warm_start": True, "pressure_deflation": True,
+                 "advection_upwind_blend": 0.5},
 }
 
 N_STEPS = 520  # t = 130 at step_length 0.25: past burn-in + episode horizon

@@ -198,12 +198,14 @@ def test_pressure_non_ortho_passes_reduce_divergence():
 
 
 def test_pressure_matrix_terms_match_direct_deferred():
-    """Matrix mode (SimConfig.pressure_non_ortho_matrix) moves the
-    DIRECT+CENTER cross terms from the deferred RHS into the operator
-    (the reference's NON_ORTHO_CENTER_MATRIX|DIRECT_MATRIX|DIAGONAL_RHS,
-    PISOtorch_simulation.py:479-486).  Both formulations must share the
-    same fixed point, which requires C_mat x == S_full(x) - S_diag(x)
-    for any x (no walls here, so corner one-sided variants are inert)."""
+    """apply_matrix_terms(field="pressure") moves the DIRECT+CENTER cross
+    terms from the deferred RHS into the operator (the reference's
+    NON_ORTHO_CENTER_MATRIX|DIRECT_MATRIX|DIAGONAL_RHS split,
+    PISOtorch_simulation.py:479-486; not used by the production pressure
+    path, which is either fully-deferred or pressure_non_ortho_full).
+    Both formulations must share the same fixed point, which requires
+    C_mat x == S_full(x) - S_diag(x) for any x (no walls here, so corner
+    one-sided variants are inert)."""
     n = 12
     xs0 = np.linspace(0.0, 1.0, n + 1)
     ys0 = np.linspace(0.0, 1.0, n + 1)
