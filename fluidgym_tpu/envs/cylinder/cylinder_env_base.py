@@ -221,6 +221,19 @@ class CylinderEnvBase(WallForcesMixin, FluidEnv):
             # (scripts/validate_gradients.py, VALIDATION.md round 2).
             pressure_warm_start=True,
             pressure_deflation=True,
+            # Hard tier (Re >= 500): the central face interpolation is
+            # unstable at this grid's cell Peclet number (impulsive-start
+            # blow-up at t ~ 46-55 for EVERY pressure-side remedy; see
+            # VALIDATION.md "Resolution (2026-08-18)").  An upwind blend of
+            # the velocity advection matrix is long-run stable from the
+            # impulsive start (gamma 0.2 and 0.3 both probed stable to
+            # t = 130 at res 24; gamma 0.2-1.0 stable at res 32 from the
+            # t = 42.5 snapshot); gamma = 0.3 ships for margin under
+            # actuation.  Documented deviation: the reference is
+            # central-only and leans on an fp64 solver fallback
+            # (cylinder_env_base.py:327) unavailable to an fp32 TPU build.
+            advection_upwind_blend=0.3
+            if self._reynolds_number >= 500 else 0.0,
         )
 
     def _additional_initialization(self) -> None:

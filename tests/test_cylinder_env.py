@@ -140,3 +140,20 @@ def test_local_2d_obs_matches_2d_env_shapes():
         assert obs3d[key].shape == (env3d.n_agents, *obs2d[key].shape), key
         assert np.isfinite(np.asarray(obs3d[key])).all()
 
+
+
+def test_hard_tier_upwind_blend_gating():
+    """Re >= 500 tiers ship with upwind-blended advection (the central
+    scheme blows up at hard-tier cell Peclet numbers; VALIDATION.md
+    "Resolution (2026-08-18)"); validated easy/medium physics stays on
+    the reference's central scheme."""
+    easy = fluidgym_tpu.make("CylinderJet2D-easy-v0", **DEV_KW)
+    hard = fluidgym_tpu.make("CylinderJet2D-hard-v0", **DEV_KW)
+    assert easy._get_simulation().advection_upwind_blend == 0.0
+    assert hard._get_simulation().advection_upwind_blend == 0.3
+    # stepping the hard tier with the blend stays finite
+    hard.reset(seed=0)
+    for _ in range(3):
+        _, _, _, _, info = hard.step(np.zeros(hard.action_space.shape,
+                                              np.float32))
+    assert np.isfinite(float(np.asarray(info["drag"]).mean()))
