@@ -51,7 +51,9 @@ from fluidgym_tpu.solver.linsolve import SolveInfo
 Array = jax.Array
 
 __all__ = ["fused_cg_mb_eligible", "fused_cg_mb", "set_fused_cg_mb",
-           "fused_cg_mb_enabled"]
+           "fused_cg_mb_enabled", "fused_bicg_mb_eligible",
+           "fused_bicgstab_mb", "set_fused_bicg_mb",
+           "fused_bicg_mb_enabled"]
 
 #: "auto" = identity-seam plans only (cylinder O-grids; measured 8.3x at the
 #: res-56 flagship, scripts/merged_cg_ab.py).  True = also flip-seam plans
@@ -83,6 +85,38 @@ def fused_cg_mb_enabled():
         return True
     return _MB_MODE
 
+#: Routing mode for the merged BiCGStab kernel (advection/scalar solves and
+#: the full non-orthogonal pressure mode).  Semantics pinned in interpret
+#: mode (tests/test_cg_pallas_mb.py); OFF by default until the hardware A/B
+#: (scripts/fused_bicg_ab.py) validates lowering + wins end-to-end.
+_MB_BICG_MODE = False
+
+
+def set_fused_bicg_mb(enabled) -> None:
+    """True/False/"auto": routing mode for merged BiCGStab solves ("auto"
+    restricts to identity-seam plans, like set_fused_cg_mb)."""
+    global _MB_BICG_MODE
+    if enabled not in (True, False, "auto"):
+        raise ValueError(
+            f"set_fused_bicg_mb expects True, False, or 'auto'; "
+            f"got {enabled!r}")
+    _MB_BICG_MODE = enabled
+
+
+def fused_bicg_mb_enabled():
+    """False, True (all plans), or "auto" (identity-seam plans only)."""
+    import os
+
+    env = os.environ.get("FLUIDGYM_TPU_FUSED_BICG_MB", "").strip().lower()
+    if env in ("0", "false", "off"):
+        return False
+    if env in ("1", "true", "on"):
+        return True
+    if env == "auto":
+        return "auto"
+    return _MB_BICG_MODE
+
+
 #: Minimum total (padded) cells per lane for sub-8-lane chunks: one big lane
 #: keeps the VPU busy by itself, so residency wins even without lane packing.
 _BIG_LANE_CELLS = 16384
@@ -95,22 +129,24 @@ def _sb_array_shape(plan: MergePlan, s: int) -> tuple[int, ...]:
     return tuple(plan.superblocks[s].shape[D] for D in range(nd - 1, -1, -1))
 
 
-def _lane_bytes(plan: MergePlan, dtype) -> int:
-    # per super-block residents: b, diag, 2*nd offs, x0, x, r, p, best, Av
-    # + Mosaic expression temporaries (the materialized Av scratch replaces
-    # one of cg_pallas's five calibrated temporaries, so the total matches)
-    n_arrays = 12 + 2 * plan.ndims
+def _lane_bytes(plan: MergePlan, dtype, algo: str = "cg") -> int:
+    # per super-block residents, CG: b, diag, 2*nd offs, x0, x, r, p, best,
+    # Av + Mosaic expression temporaries (the materialized Av scratch
+    # replaces one of cg_pallas's five calibrated temporaries, so the total
+    # matches).  BiCGStab adds the shadow residual r_hat and a second
+    # matvec scratch t.
+    n_arrays = (12 if algo == "cg" else 14) + 2 * plan.ndims
     cells = sum(_padded_cells(_sb_array_shape(plan, s))
                 for s in range(len(plan.superblocks)))
     return cells * jnp.dtype(dtype).itemsize * n_arrays
 
 
-def _max_lanes(plan: MergePlan, dtype) -> int:
-    n = max(1, _VMEM_BUDGET_BYTES // _lane_bytes(plan, dtype))
+def _max_lanes(plan: MergePlan, dtype, algo: str = "cg") -> int:
+    n = max(1, _VMEM_BUDGET_BYTES // _lane_bytes(plan, dtype, algo))
     return (n // 8) * 8 if n >= 8 else n
 
 
-def fused_cg_mb_eligible(plan: MergePlan | None, dtype) -> bool:
+def _mb_eligible(plan: MergePlan | None, dtype, algo: str) -> bool:
     """One lane must fit VMEM, and lanes must either chunk by >=8 or be
     individually big enough to keep the VPU busy."""
     if plan is None or plan.ndims not in (2, 3):
@@ -129,11 +165,19 @@ def fused_cg_mb_eligible(plan: MergePlan | None, dtype) -> bool:
                for s in range(len(plan.superblocks)))
     if padded > 3 * live:
         return False
-    if _lane_bytes(plan, dtype) > _VMEM_BUDGET_BYTES:
+    if _lane_bytes(plan, dtype, algo) > _VMEM_BUDGET_BYTES:
         return False
-    if _max_lanes(plan, dtype) < 8:
+    if _max_lanes(plan, dtype, algo) < 8:
         return padded >= _BIG_LANE_CELLS
     return True
+
+
+def fused_cg_mb_eligible(plan: MergePlan | None, dtype) -> bool:
+    return _mb_eligible(plan, dtype, "cg")
+
+
+def fused_bicg_mb_eligible(plan: MergePlan | None, dtype) -> bool:
+    return _mb_eligible(plan, dtype, "bicgstab")
 
 
 def _flip_sizes(plan: MergePlan) -> tuple[int, ...]:
@@ -408,20 +452,173 @@ def _kernel(plan: MergePlan, *refs, tol2_sum: float, maxiter: int,
     rs_ref[:] = jnp.broadcast_to(rsum, bs[0].shape)
 
 
+def _kernel_bicg(plan: MergePlan, *refs, tol2_sum: float, maxiter: int,
+                 stall_iters: int, precondition: bool, return_best: bool,
+                 warm_start: bool):
+    """Right-preconditioned BiCGStab twin of ``_kernel`` (for the
+    non-symmetric advection/scalar systems and the full non-orthogonal
+    pressure mode).  Semantics match ``linsolve.bicgstab``: per-lane freeze,
+    stall patience, return-best, Jacobi RIGHT preconditioning (r stays the
+    TRUE residual, so the stopping criterion is unchanged).
+
+    Ref layout per super-block s: inputs [b_s, diag_s, off_s(2*nd), x0_s],
+    then flip matrices, then outputs [x_s]*S + [iters, rs], then scratch
+    [r_s, rhat_s, p_s, v_s, t_s, best_s]*S."""
+    nd = plan.ndims
+    nf = 2 * nd
+    S = len(plan.superblocks)
+    per_in = 3 + nf
+    b_refs = [refs[s * per_in] for s in range(S)]
+    diag_refs = [refs[s * per_in + 1] for s in range(S)]
+    off_refs = [refs[s * per_in + 2:s * per_in + 2 + nf] for s in range(S)]
+    x0_refs = [refs[s * per_in + 2 + nf] for s in range(S)]
+    base = S * per_in
+    flip_sizes = _flip_sizes(plan)
+    flip_mats = {n: refs[base + i][:] for i, n in enumerate(flip_sizes)}
+    base += len(flip_sizes)
+    x_out = list(refs[base:base + S])
+    iters_ref, rs_ref = refs[base + S], refs[base + S + 1]
+    scr = refs[base + S + 2:]
+    r_refs = list(scr[0:S])
+    rhat_refs = list(scr[S:2 * S])
+    p_refs = list(scr[2 * S:3 * S])
+    v_refs = list(scr[3 * S:4 * S])
+    t_refs = list(scr[4 * S:5 * S])
+    best_refs = list(scr[5 * S:6 * S])
+
+    dt = b_refs[0].dtype
+    diags = [d[:] for d in diag_refs]
+    offs = [[o[:] for o in off_refs[s]] for s in range(S)]
+    bs = [b[:] for b in b_refs]
+    tiny = jnp.asarray(1e-30, dt)
+    inv_diags = ([jnp.asarray(1.0, dt) / d for d in diags]
+                 if precondition else None)
+
+    def precond(fields):
+        if inv_diags is None:
+            return list(fields)
+        return [iv * f for iv, f in zip(inv_diags, fields)]
+
+    def joint(parts):
+        out = parts[0]
+        for pp in parts[1:]:
+            out = out + pp
+        return out
+
+    if warm_start:
+        x0s = [x[:] for x in x0_refs]
+        Ax0 = _mb_matvec_into(v_refs, plan, diags, offs, x0s,
+                              flip_mats=flip_mats)
+        rs_f = [b - a for b, a in zip(bs, Ax0)]
+        for s in range(S):
+            x_out[s][:] = x0s[s]
+    else:
+        rs_f = bs
+        for s in range(S):
+            x_out[s][:] = jnp.zeros_like(bs[s])
+    for s in range(S):
+        r_refs[s][:] = rs_f[s]
+        rhat_refs[s][:] = rs_f[s]
+        p_refs[s][:] = rs_f[s]
+        best_refs[s][:] = x_out[s][:]
+    rho0 = joint([_lane_sum(r * r) for r in rs_f]).astype(dt)  # <r_hat, r>
+    rs0 = rho0  # <r, r> == rho at init (r_hat = r)
+
+    tol2 = jnp.asarray(tol2_sum, dt)
+    zero = jnp.asarray(0, dt)
+
+    def guard(x):
+        return jnp.where(jnp.abs(x) < tiny, tiny, x)
+
+    def cond(carry):
+        it, rho, rsum, best_rs, best_it = carry
+        active = jnp.logical_and(rsum > tol2, it - best_it < stall_iters)
+        return jnp.logical_and(it < maxiter, jnp.any(active))
+
+    def body(carry):
+        it, rho, rsum, best_rs, best_it = carry
+        done = jnp.logical_or(rsum <= tol2, it - best_it >= stall_iters)
+        not_done = jnp.logical_not(done)
+        xs = [x[:] for x in x_out]
+        ps = [p[:] for p in p_refs]
+        rhats = [rh[:] for rh in rhat_refs]
+        rrs = [r[:] for r in r_refs]
+        p_hat = precond(ps)
+        vs = _mb_matvec_into(v_refs, plan, diags, offs, p_hat,
+                             flip_mats=flip_mats)
+        denom = joint([_lane_sum(rh * v)
+                       for rh, v in zip(rhats, vs)]).astype(dt)
+        alpha = jnp.where(done, zero, rho / guard(denom))
+        ss = [r - alpha * v for r, v in zip(rrs, vs)]
+        s_hat = precond(ss)
+        ts = _mb_matvec_into(t_refs, plan, diags, offs, s_hat,
+                             flip_mats=flip_mats)
+        tt = joint([_lane_sum(t * t) for t in ts]).astype(dt)
+        ts_dot = joint([_lane_sum(t * s) for t, s in zip(ts, ss)]).astype(dt)
+        omega = jnp.where(done, zero, ts_dot / guard(tt))
+        xs = [x + alpha * ph + omega * sh
+              for x, ph, sh in zip(xs, p_hat, s_hat)]
+        r_new = [s - omega * t for s, t in zip(ss, ts)]
+        for s_i in range(S):
+            x_out[s_i][:] = xs[s_i]
+            r_refs[s_i][:] = r_new[s_i]
+        rho_new = jnp.where(done, rho, joint(
+            [_lane_sum(rh * r) for rh, r in zip(rhats, r_new)]).astype(dt))
+        beta = jnp.where(
+            done, zero, (rho_new / guard(rho)) * (alpha / guard(omega)))
+        for s_i in range(S):
+            p_refs[s_i][:] = (r_new[s_i]
+                              + beta * (ps[s_i] - omega * vs[s_i]))
+        rs_new = jnp.where(done, rsum, joint(
+            [_lane_sum(r * r) for r in r_new]).astype(dt))
+        better = jnp.logical_and(rs_new < best_rs, not_done)
+        if return_best:
+            for s_i in range(S):
+                best_refs[s_i][:] = jnp.where(better, xs[s_i],
+                                              best_refs[s_i][:])
+        best_rs = jnp.where(better, rs_new, best_rs)
+        best_it = jnp.where(better, it + 1, best_it)
+        return it + 1, rho_new, rs_new, best_rs, best_it
+
+    it0 = jnp.asarray(0, jnp.int32)
+    best_it0 = jnp.zeros_like(rho0, jnp.int32)
+    it, rho, rsum, best_rs, _ = jax.lax.while_loop(
+        cond, body, (it0, rho0, rs0, rs0, best_it0))
+
+    converged = rsum <= tol2
+    if return_best:
+        for s in range(S):
+            x_out[s][:] = jnp.where(converged, x_out[s][:], best_refs[s][:])
+        rsum = jnp.where(converged, rsum, best_rs)
+    iters_ref[:] = jnp.broadcast_to(
+        jnp.full_like(rsum, it, dtype=jnp.int32), bs[0].shape)
+    rs_ref[:] = jnp.broadcast_to(rsum, bs[0].shape)
+
+
 @functools.lru_cache(maxsize=None)
 def _lane_solver(plan: MergePlan, tol2_sum: float, maxiter: int,
                  stall_iters: int, precondition: bool, return_best: bool,
-                 warm_start: bool, interpret: bool, coarse=None):
+                 warm_start: bool, interpret: bool, coarse=None,
+                 algo: str = "cg", lane_leading: bool = False):
     """(lanes, *spatial)-per-super-block lockstep solver with the custom_vmap
     lane-folding rule (cg_pallas._lane_solver generalized to S arrays).
 
     Flat argument convention (custom_vmap needs positional arrays):
     ``solve(*args)`` with args = [b_s, diag_s, off_s0..off_s{nf-1}, x0_s]
-    repeated for each super-block s."""
+    repeated for each super-block s.
+
+    ``algo``: "cg" (the SPD pressure kernel) or "bicgstab" (non-symmetric
+    advection/scalar systems; no coarse support).  ``lane_leading``: every
+    arg already carries an explicit leading lane axis (the BiCGStab caller
+    folds solve COMPONENTS onto it); the base case then runs the kernel on
+    those lanes directly and the vmap rule flattens (batch, comps, ...) ->
+    (batch*comps, ...) lanes."""
     nd = plan.ndims
     nf = 2 * nd
     S = len(plan.superblocks)
     per = 3 + nf
+    assert algo in ("cg", "bicgstab")
+    assert coarse is None or algo == "cg"
 
     def _split(args):
         bs = [args[s * per] for s in range(S)]
@@ -434,10 +631,17 @@ def _lane_solver(plan: MergePlan, tol2_sum: float, maxiter: int,
         # with coarse, args = [per-sb inputs...] + [Einv (lanes,K,K)]; the
         # lane-shared strip restriction matrices are appended here (static)
         bs, diags, offs, x0s = _split(args)
-        kernel = functools.partial(
-            _kernel, plan, tol2_sum=tol2_sum, maxiter=maxiter,
-            stall_iters=stall_iters, precondition=precondition,
-            return_best=return_best, warm_start=warm_start, coarse=coarse)
+        if algo == "cg":
+            kernel = functools.partial(
+                _kernel, plan, tol2_sum=tol2_sum, maxiter=maxiter,
+                stall_iters=stall_iters, precondition=precondition,
+                return_best=return_best, warm_start=warm_start,
+                coarse=coarse)
+        else:
+            kernel = functools.partial(
+                _kernel_bicg, plan, tol2_sum=tol2_sum, maxiter=maxiter,
+                stall_iters=stall_iters, precondition=precondition,
+                return_best=return_best, warm_start=warm_start)
         operands = list(args)
         if coarse is not None:
             from fluidgym_tpu.solver.coarse_strips import restriction_matrices
@@ -451,7 +655,8 @@ def _lane_solver(plan: MergePlan, tol2_sum: float, maxiter: int,
             jax.ShapeDtypeStruct(bs[0].shape, jnp.int32),
             jax.ShapeDtypeStruct(bs[0].shape, bs[0].dtype),
         )
-        scratch = [pltpu.VMEM(b.shape, b.dtype) for b in bs] * 4
+        scratch = ([pltpu.VMEM(b.shape, b.dtype) for b in bs]
+                   * (4 if algo == "cg" else 6))
         if coarse is not None:
             lanes = bs[0].shape[0]
             scratch = scratch + [
@@ -497,10 +702,16 @@ def _lane_solver(plan: MergePlan, tol2_sum: float, maxiter: int,
             elif precondition:
                 precond = (lambda rr: tuple(r / d
                                             for r, d in zip(rr, diags)))
-            x, info = linsolve.cg(
-                mv, tuple(bs), x0=tuple(x0s) if warm_start else None,
-                tol=tol, maxiter=maxiter, return_best=return_best,
-                precond=precond, stall_iters=stall_iters)
+            if algo == "cg":
+                x, info = linsolve.cg(
+                    mv, tuple(bs), x0=tuple(x0s) if warm_start else None,
+                    tol=tol, maxiter=maxiter, return_best=return_best,
+                    precond=precond, stall_iters=stall_iters)
+            else:
+                x, info = linsolve.bicgstab(
+                    mv, tuple(bs), x0=tuple(x0s) if warm_start else None,
+                    tol=tol, maxiter=maxiter, return_best=return_best,
+                    precond=precond, stall_iters=stall_iters)
             rs = (info.residual.astype(bs[0].dtype) ** 2) * n_total
             return tuple(x) + (info.iterations, rs)
 
@@ -514,7 +725,7 @@ def _lane_solver(plan: MergePlan, tol2_sum: float, maxiter: int,
     def solve_lanes(args):
         lanes = args[0].shape[0]
         dtype = args[0].dtype
-        chunk = min(lanes, _max_lanes(plan, dtype))
+        chunk = min(lanes, _max_lanes(plan, dtype, algo))
         total_cells = sum(_padded_cells(_sb_array_shape(plan, s))
                           for s in range(S))
         if (chunk < min(lanes, 8)) and total_cells < _BIG_LANE_CELLS:
@@ -549,6 +760,11 @@ def _lane_solver(plan: MergePlan, tol2_sum: float, maxiter: int,
 
     @jax.custom_batching.custom_vmap
     def solve(*args):
+        if lane_leading:
+            # args already carry a (component) lane axis; keep it in the
+            # outputs so the caller reduces over components itself
+            xs, iters, rs = solve_lanes(list(args))
+            return tuple(xs) + (_lane_stat(iters), _lane_stat(rs))
         xs, iters, rs = call_kernel([a[None] for a in args])
         return (tuple(x[0] for x in xs)
                 + (_lane_stat(iters)[0], _lane_stat(rs)[0]))
@@ -559,6 +775,17 @@ def _lane_solver(plan: MergePlan, tol2_sum: float, maxiter: int,
             return a if is_b else jnp.broadcast_to(a, (axis_size,) + a.shape)
 
         args = [bcast(a, f) for a, f in zip(args, in_batched)]
+        if lane_leading:
+            # (batch, comps, *spatial) -> (batch*comps, *spatial) lanes
+            comps = args[0].shape[1]
+            flat = [a.reshape((axis_size * comps,) + a.shape[2:])
+                    for a in args]
+            xs, iters, rs = solve_lanes(flat)
+            xs = [x.reshape((axis_size, comps) + x.shape[1:]) for x in xs]
+            out = (tuple(xs)
+                   + (_lane_stat(iters).reshape(axis_size, comps),
+                      _lane_stat(rs).reshape(axis_size, comps)))
+            return out, tuple(True for _ in out)
         xs, iters, rs = solve_lanes(args)
         out = tuple(xs) + (_lane_stat(iters), _lane_stat(rs))
         return out, tuple(True for _ in out)
@@ -626,4 +853,74 @@ def fused_cg_mb(
     converged = jnp.logical_or(rs <= jnp.asarray(tol2_sum, dt), b_zero)
     info = SolveInfo(converged=converged, iterations=iters,
                      residual=jnp.sqrt(rs / n))
+    return xs, info
+
+
+def fused_bicgstab_mb(
+    plan: MergePlan,
+    diags,
+    offs,
+    bs,
+    x0s=None,
+    *,
+    tol: float,
+    maxiter: int = 5000,
+    stall_iters: int = 250,
+    precondition: bool = True,
+    return_best: bool = True,
+    interpret: bool = False,
+) -> tuple[tuple[Array, ...], SolveInfo]:
+    """Whole-solve lockstep BiCGStab on a merged multi-block stencil
+    operator (the non-symmetric advection/scalar systems; also serves the
+    full non-orthogonal pressure mode when its cross terms are folded into
+    the stencil).
+
+    ``bs``/``x0s`` are per-super-block arrays with a leading solve-COMPONENT
+    axis ``(C, *spatial)`` -- the joint velocity solve's components (C=1
+    for scalar channels).  Components share the operator (``diags``/``offs``
+    are spatial-only and broadcast) and run as independent kernel lanes
+    with a PER-COMPONENT NORM2_NORMALIZED stopping criterion -- the
+    reference's per-RHS convergence (bicgstab_solver_kernel.cu), tighter
+    than linsolve.bicgstab's joint criterion.  Under ``jax.vmap`` the env
+    batch folds onto the same lane axis (batch*C lanes).
+
+    Returns ``(xs, SolveInfo)`` with ``xs`` per-super-block ``(C,
+    *spatial)`` and the info aggregated over components (converged = all,
+    iterations = max, residual = joint RMSE)."""
+    S = len(plan.superblocks)
+    dt = bs[0].dtype
+    C = bs[0].shape[0]
+    n_lane = sum(int(np.prod(b.shape[1:])) for b in bs)
+    tol2_sum = float(tol) * float(tol) * n_lane
+    warm = x0s is not None
+    x0s_in = list(bs) if x0s is None else list(x0s)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+
+    solver = _lane_solver(plan, tol2_sum, int(maxiter), int(stall_iters),
+                          bool(precondition), bool(return_best), warm,
+                          bool(interpret), None, "bicgstab", True)
+    nf = 2 * plan.ndims
+
+    def comp_bcast(a):
+        return jnp.broadcast_to(a[None], (C,) + a.shape)
+
+    args = []
+    for s in range(S):
+        args.append(bs[s])
+        args.append(comp_bcast(diags[s]))
+        args.extend(comp_bcast(offs[s][f]) for f in range(nf))
+        args.append(x0s_in[s])
+    outs = solver(*args)
+    xs, iters, rs = list(outs[:S]), outs[S], outs[S + 1]
+
+    b_zero = jnp.all(jnp.stack([jnp.all(b == 0) for b in bs]))
+    xs = tuple(jnp.where(b_zero, jnp.zeros_like(x), x) for x in xs)
+    conv_c = rs <= jnp.asarray(tol2_sum, dt)
+    converged = jnp.logical_or(jnp.all(conv_c, axis=0), b_zero)
+    info = SolveInfo(
+        converged=converged,
+        iterations=jnp.max(iters, axis=0),
+        residual=jnp.sqrt(jnp.sum(rs, axis=0) / (n_lane * C)),
+    )
     return xs, info

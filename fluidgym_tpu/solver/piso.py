@@ -305,6 +305,71 @@ def _fused_cg_usable(ops, topo: DomainTopo, coarse_fn) -> bool:
                 topo.blocks[0].shape, topo.ndims, ops[0].diag.dtype))
 
 
+def _fused_bicg_mb_plan(ops, topo: DomainTopo):
+    """Dispatch gate for the merged-frame fused BiCGStab
+    (ops/cg_pallas_mb.fused_bicgstab_mb): multi-block topologies with a
+    VMEM-fitting merge plan route the non-symmetric advection/scalar
+    solves through the resident kernel.  The operator must be a plain
+    scalar stencil (channel-shaped diags take the XLA path); the RHS may
+    carry a leading component axis (the joint velocity solve) -- components
+    become kernel lanes.  Returns the MergePlan or None."""
+    from fluidgym_tpu.ops import cg_pallas, cg_pallas_mb
+    from fluidgym_tpu.solver import block_merge
+
+    if len(topo.blocks) < 2:
+        return None
+    if ops[0].diag.ndim != topo.ndims:
+        return None
+    mode = cg_pallas_mb.fused_bicg_mb_enabled()
+    if not cg_pallas.fused_cg_enabled() or mode is False:
+        return None
+    plan = block_merge.merge_plan(topo)
+    if plan is None or not cg_pallas_mb.fused_bicg_mb_eligible(
+            plan, ops[0].diag.dtype):
+        return None
+    if mode == "auto" and not plan.identity_seams:
+        return None
+    return plan
+
+
+def _fused_bicg_mb_solve(mplan, ops, b, topo: DomainTopo, *, tol, maxiter,
+                         stall_iters, precondition, return_best, x0):
+    """Pack (optionally component-leading) block fields into the merged
+    frame, run the resident BiCGStab, and unpack."""
+    from fluidgym_tpu.ops import cg_pallas_mb
+    from fluidgym_tpu.solver import block_merge
+
+    nblocks = len(topo.blocks)
+    S = len(mplan.superblocks)
+    leaves = list(b)
+    chan = leaves[0].ndim - topo.ndims  # 0 (scalar) or 1 (components)
+    C = leaves[0].shape[0] if chan else 1
+
+    def pack(fields):
+        if chan:
+            per_c = [block_merge.pack_fields(
+                mplan, tuple(f[c] for f in fields)) for c in range(C)]
+            return tuple(jnp.stack([per_c[c][s] for c in range(C)], axis=0)
+                         for s in range(S))
+        packed = block_merge.pack_fields(mplan, tuple(fields))
+        return tuple(p[None] for p in packed)
+
+    mops = block_merge.pack_ops(mplan, ops)
+    xs, inf = cg_pallas_mb.fused_bicgstab_mb(
+        mplan, tuple(m[0] for m in mops), tuple(m[1] for m in mops),
+        pack(b), x0s=None if x0 is None else pack(x0),
+        tol=tol, maxiter=maxiter, stall_iters=stall_iters,
+        precondition=precondition, return_best=return_best)
+    per_c = [block_merge.unpack_fields(mplan, tuple(x[c] for x in xs))
+             for c in range(C)]
+    if chan:
+        res = tuple(jnp.stack([per_c[c][bi] for c in range(C)], axis=0)
+                    for bi in range(nblocks))
+    else:
+        res = tuple(per_c[0])
+    return res, inf
+
+
 def _fused_cg_mb_plan(ops, topo: DomainTopo, coarse_fn):
     """Dispatch gate for the MERGED-frame fused CG (ops/cg_pallas_mb.py):
     multi-block topologies whose merge plan (solver/block_merge.py) exists
@@ -506,6 +571,14 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
         return x, _posthoc_info(mv, b, x, tol_resolved)
 
     if not differentiable:
+        if matvec_extra is None and precond_override is None:
+            mplan_b = _fused_bicg_mb_plan(ops, topo)
+            if mplan_b is not None:
+                return _fused_bicg_mb_solve(
+                    mplan_b, ops, b, topo, tol=tol_resolved,
+                    maxiter=maxiter, stall_iters=stall_iters,
+                    precondition=precondition, return_best=return_best,
+                    x0=x0)
         return linsolve.bicgstab(mv, b, x0=x0, tol=tol, maxiter=maxiter,
                                  return_best=return_best,
                                  stall_iters=stall_iters, precond=precond_fn)

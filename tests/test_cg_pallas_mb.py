@@ -280,3 +280,132 @@ def test_strip_coarse_E_matches_brute_force(cyl):
     E_ref = np.stack(cols, 1)
     np.testing.assert_allclose(E, E_ref,
                                atol=1e-4 * np.abs(E_ref).max())
+
+
+# ---------------------------------------------------------------------------
+# merged-frame fused BiCGStab (the non-symmetric advection/scalar systems)
+# ---------------------------------------------------------------------------
+
+
+def _vel_rhs(topo, seed=0, ncomp=2):
+    rng = np.random.default_rng(seed)
+    return tuple(jnp.asarray(
+        rng.standard_normal((ncomp,) + bt.shape), jnp.float32)
+        for bt in topo.blocks)
+
+
+@pytest.fixture(scope="module")
+def cyl_adv(cyl):
+    """Non-symmetric advection-diffusion operator on the cylinder O-grid."""
+    env, plan, _ = cyl
+    adv_ops = st.build_advection_ops(
+        env._state, env._geoms, env._topo, env._state.viscosity,
+        jnp.asarray(0.01, jnp.float32))
+    return env, plan, adv_ops
+
+
+def _pack_comp(plan, fields, ncomp):
+    per_c = [bm.pack_fields(plan, tuple(f[c] for f in fields))
+             for c in range(ncomp)]
+    return tuple(jnp.stack([per_c[c][s] for c in range(ncomp)], axis=0)
+                 for s in range(len(plan.superblocks)))
+
+
+def test_fused_bicgstab_solves_advection_system(cyl_adv):
+    env, plan, ops = cyl_adv
+    topo = env._topo
+    assert mb.fused_bicg_mb_eligible(plan, jnp.float32)
+
+    def mv(xs):
+        return st.domain_apply(ops, xs, topo)
+
+    b = _vel_rhs(topo, 3)
+    mops = bm.pack_ops(plan, ops)
+    xs, info = mb.fused_bicgstab_mb(
+        plan, tuple(m[0] for m in mops), tuple(m[1] for m in mops),
+        _pack_comp(plan, b, 2), tol=1e-6, maxiter=2000, interpret=True)
+    assert bool(info.converged), info
+    x_got = tuple(
+        jnp.stack([bm.unpack_fields(plan, tuple(x[c] for x in xs))[bi]
+                   for c in range(2)], axis=0)
+        for bi, x in [(i, xs) for i in range(len(topo.blocks))])
+    # the returned iterate solves the ORIGINAL blockwise system per component
+    res = [np.asarray(bb) - np.asarray(aa)
+           for bb, aa in zip(b, mv(x_got))]
+    n_lane = sum(a[0].size for a in res)
+    for c in range(2):
+        rmse = np.sqrt(sum((a[c] ** 2).sum() for a in res) / n_lane)
+        assert rmse <= 3e-6, (c, rmse)
+
+
+def test_fused_bicgstab_warm_start(cyl_adv):
+    env, plan, ops = cyl_adv
+    topo = env._topo
+
+    def mv(xs):
+        return st.domain_apply(ops, xs, topo)
+
+    x_true = _vel_rhs(topo, 5)
+    b = mv(x_true)
+    mops = bm.pack_ops(plan, ops)
+    xs, info = mb.fused_bicgstab_mb(
+        plan, tuple(m[0] for m in mops), tuple(m[1] for m in mops),
+        _pack_comp(plan, b, 2), x0s=_pack_comp(plan, x_true, 2),
+        tol=1e-6, maxiter=2000, interpret=True)
+    assert bool(info.converged)
+    assert int(info.iterations) <= 3
+
+
+def test_fused_bicgstab_vmap_folds_batch_and_components(cyl_adv):
+    env, plan, ops = cyl_adv
+    topo = env._topo
+    mops = bm.pack_ops(plan, ops)
+    diags = tuple(m[0] for m in mops)
+    offs = tuple(m[1] for m in mops)
+
+    batch = 3
+    bs_list = [_vel_rhs(topo, 30 + i) for i in range(batch)]
+
+    def solve_one(packed):
+        xs, info = mb.fused_bicgstab_mb(
+            plan, diags, offs, packed, tol=1e-6, maxiter=2000,
+            interpret=True)
+        return xs, info.converged
+
+    batched = jax.tree.map(
+        lambda *a: jnp.stack(a),
+        *[_pack_comp(plan, b, 2) for b in bs_list])
+    xs_b, conv_b = jax.vmap(solve_one)(batched)
+    assert bool(conv_b.all())
+    for i in range(batch):
+        xs_1, conv_1 = solve_one(_pack_comp(plan, bs_list[i], 2))
+        assert bool(conv_1)
+        for s in range(len(plan.superblocks)):
+            np.testing.assert_allclose(np.asarray(xs_b[s][i]),
+                                       np.asarray(xs_1[s]), atol=2e-4)
+
+
+def test_fused_bicgstab_env_step_parity(cyl):
+    """End-to-end: one env step with the merged BiCGStab routed in
+    (interpret mode) matches the XLA-solver step."""
+    import fluidgym_tpu
+
+    kw = dict(resolution=16, load_initial_domain=False,
+              load_domain_statistics=False, randomize_initial_state=False,
+              episode_length=3, step_length=0.02, dt=0.01)
+
+    def run(enabled):
+        mb.set_fused_bicg_mb(enabled)
+        try:
+            env = fluidgym_tpu.make("CylinderJet2D-easy-v0", **kw)
+            env.reset(seed=0)
+            act = np.zeros(env.action_space.shape, np.float32)
+            _, _, _, _, info = env.step(act)
+            return float(np.asarray(info["drag"]).mean())
+        finally:
+            mb.set_fused_bicg_mb(False)
+
+    d_off = run(False)
+    d_on = run(True)
+    assert np.isfinite(d_on)
+    np.testing.assert_allclose(d_on, d_off, rtol=2e-3)
