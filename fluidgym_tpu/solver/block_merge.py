@@ -40,7 +40,8 @@ import numpy as np
 from fluidgym_tpu.core.domain import BoundKind, DomainTopo, face_axis
 
 __all__ = ["MergePlan", "Placement", "SeamFixup", "merge_plan",
-           "pack_fields", "unpack_fields", "pack_ops", "merged_apply"]
+           "trivial_plan", "pack_fields", "unpack_fields", "pack_ops",
+           "merged_apply"]
 
 
 # ---------------------------------------------------------------------------
@@ -389,6 +390,35 @@ def merge_plan(topo: DomainTopo) -> MergePlan | None:
     if fixups is None:
         return None
     plan = MergePlan(ndims=topo.ndims, superblocks=sbs, fixups=fixups)
+    if not _self_check(topo, plan):
+        return None
+    return plan
+
+
+@functools.lru_cache(maxsize=None)
+def trivial_plan(topo: DomainTopo) -> MergePlan | None:
+    """Identity plan for SINGLE-block topologies with no CONNECTED faces:
+    one super-block, no fixups, identity placement.  Lets the merged
+    resident kernels (ops/cg_pallas_mb) serve single-block domains (RBC,
+    TCF) without a separate kernel -- rolls handle PERIODIC faces and FIXED
+    faces carry zero off-coefficients, exactly as in the single-block
+    kernel (ops/cg_pallas).  Self-checked like merge_plan."""
+    if len(topo.blocks) != 1:
+        return None
+    bt = topo.blocks[0]
+    if any(s.kind == BoundKind.CONNECTED for s in bt.faces):
+        return None
+    nd = topo.ndims
+    shape_pa = tuple(bt.shape[::-1])  # per PHYSICAL axis extents
+    plan = MergePlan(
+        ndims=nd,
+        superblocks=(SuperBlockPlan(
+            shape=shape_pa,
+            members=(Placement(block=0, perm=tuple(range(nd)),
+                               inv=(0,) * nd, offset=(0,) * nd,
+                               shape=shape_pa),)),),
+        fixups=(),
+    )
     if not _self_check(topo, plan):
         return None
     return plan

@@ -316,14 +316,13 @@ def _fused_bicg_mb_plan(ops, topo: DomainTopo):
     from fluidgym_tpu.ops import cg_pallas, cg_pallas_mb
     from fluidgym_tpu.solver import block_merge
 
-    if len(topo.blocks) < 2:
-        return None
     if ops[0].diag.ndim != topo.ndims:
         return None
     mode = cg_pallas_mb.fused_bicg_mb_enabled()
     if not cg_pallas.fused_cg_enabled() or mode is False:
         return None
-    plan = block_merge.merge_plan(topo)
+    plan = (block_merge.merge_plan(topo) if len(topo.blocks) >= 2
+            else block_merge.trivial_plan(topo))
     if plan is None or not cg_pallas_mb.fused_bicg_mb_eligible(
             plan, ops[0].diag.dtype):
         return None

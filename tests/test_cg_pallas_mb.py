@@ -409,3 +409,45 @@ def test_fused_bicgstab_env_step_parity(cyl):
     d_on = run(True)
     assert np.isfinite(d_on)
     np.testing.assert_allclose(d_on, d_off, rtol=2e-3)
+
+
+def test_fused_bicgstab_single_block_trivial_plan():
+    """block_merge.trivial_plan lets the merged BiCGStab serve single-block
+    topologies (RBC/TCF advection): solve a non-symmetric system on a
+    closed single block and check against linsolve.bicgstab."""
+    from fluidgym_tpu.core import geometry as geo
+    from fluidgym_tpu.core.domain import DomainBuilder
+    from fluidgym_tpu.solver import linsolve
+
+    n = 24
+    dom = DomainBuilder(ndims=2, viscosity=0.02)
+    blk = dom.create_block(geo.make_uniform_grid((n, n), (0, 0), (1.0, 1.0)))
+    for f in range(4):
+        blk.close_boundary(f)
+    rng = np.random.default_rng(2)
+    blk.set_velocity(0.3 * rng.standard_normal((2, n, n)).astype(np.float32))
+    topo, geoms, state = dom.build()
+    plan = bm.trivial_plan(topo)
+    assert plan is not None and len(plan.superblocks) == 1
+    ops = st.build_advection_ops(state, geoms, topo, state.viscosity,
+                                 jnp.asarray(0.05, jnp.float32))
+
+    def mv(xs):
+        return st.domain_apply(ops, xs, topo)
+
+    b = _vel_rhs(topo, 8)
+    mops = bm.pack_ops(plan, ops)
+    xs, info = mb.fused_bicgstab_mb(
+        plan, tuple(m[0] for m in mops), tuple(m[1] for m in mops),
+        _pack_comp(plan, b, 2), tol=1e-6, maxiter=2000, interpret=True)
+    assert bool(info.converged), info
+    x_got = tuple(
+        jnp.stack([bm.unpack_fields(plan, tuple(x[c] for x in xs))[0]
+                   for c in range(2)], axis=0)
+        for x in [xs])
+    res = [np.asarray(bb) - np.asarray(aa)
+           for bb, aa in zip(b, mv(x_got))]
+    n_lane = res[0][0].size
+    for c in range(2):
+        rmse = np.sqrt(sum((a[c] ** 2).sum() for a in res) / n_lane)
+        assert rmse <= 3e-6, (c, rmse)
