@@ -582,11 +582,25 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                                  return_best=return_best,
                                  stall_iters=stall_iters, precond=precond_fn)
 
-    def solve_fn(mv_fn, bb):
-        return linsolve.bicgstab(mv_fn, bb, tol=tol, maxiter=maxiter,
-                                 return_best=return_best,
-                                 stall_iters=stall_iters,
-                                 precond=precond_fn)[0]
+    mplan_b = None
+    if matvec_extra is None and precond_override is None:
+        mplan_b = _fused_bicg_mb_plan(ops, topo)
+
+    if mplan_b is not None:
+        # the kernel is a black-box FORWARD solver under custom_linear_solve
+        # (the implicit-function VJP is unaffected); the transposed solve
+        # keeps the XLA loop -- its operator is A^T, not the stencil
+        def solve_fn(mv_fn, bb):
+            return _fused_bicg_mb_solve(
+                mplan_b, ops, bb, topo, tol=tol_resolved, maxiter=maxiter,
+                stall_iters=stall_iters, precondition=precondition,
+                return_best=return_best, x0=None)[0]
+    else:
+        def solve_fn(mv_fn, bb):
+            return linsolve.bicgstab(mv_fn, bb, tol=tol, maxiter=maxiter,
+                                     return_best=return_best,
+                                     stall_iters=stall_iters,
+                                     precond=precond_fn)[0]
 
     def tsolve_fn(vecmat, bb):
         # diag(A^T) = diag(A): the same Jacobi preconditioner applies

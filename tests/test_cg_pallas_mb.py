@@ -451,3 +451,32 @@ def test_fused_bicgstab_single_block_trivial_plan():
     for c in range(2):
         rmse = np.sqrt(sum((a[c] ** 2).sum() for a in res) / n_lane)
         assert rmse <= 3e-6, (c, rmse)
+
+
+def test_fused_bicgstab_differentiable_path(cyl_adv):
+    """Under lax.custom_linear_solve the kernel is a black-box FORWARD
+    solver: solutions and implicit-function gradients must match the XLA
+    path (the transposed solve stays XLA either way)."""
+    from fluidgym_tpu.solver import piso
+
+    env, plan, ops = cyl_adv
+    topo = env._topo
+    b = _vel_rhs(topo, 44)
+
+    def solve_sum(bb, enabled):
+        mb.set_fused_bicg_mb(enabled)
+        try:
+            x, _ = piso._solve(ops, bb, topo, tol=1e-6, maxiter=2000,
+                               symmetric=False, use_bicg=True,
+                               return_best=True, differentiable=True)
+        finally:
+            mb.set_fused_bicg_mb(False)
+        return sum(jnp.sum(xx * (1.0 + 0.1 * i))
+                   for i, xx in enumerate(x))
+
+    v_off, g_off = jax.value_and_grad(lambda bb: solve_sum(bb, False))(b)
+    v_on, g_on = jax.value_and_grad(lambda bb: solve_sum(bb, True))(b)
+    np.testing.assert_allclose(float(v_on), float(v_off), rtol=1e-4)
+    for a, c in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_off)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=0, atol=1e-4)
