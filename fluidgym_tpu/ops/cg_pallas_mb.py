@@ -87,9 +87,12 @@ def fused_cg_mb_enabled():
 
 #: Routing mode for the merged BiCGStab kernel (advection/scalar solves and
 #: the full non-orthogonal pressure mode).  Semantics pinned in interpret
-#: mode (tests/test_cg_pallas_mb.py); OFF by default until the hardware A/B
-#: (scripts/fused_bicg_ab.py) validates lowering + wins end-to-end.
-_MB_BICG_MODE = False
+#: mode (tests/test_cg_pallas_mb.py); default "auto" (identity-seam plans)
+#: after the hardware A/B validated lowering and won end-to-end on both
+#: flagship grids (scripts/fused_bicg_ab.py, 2026-08-18: res 24 1.28x with
+#: bit-equal drag, res 56 1.10x at cd rel. diff 1.3e-4; all solves
+#: converged on both paths).
+_MB_BICG_MODE = "auto"
 
 
 def set_fused_bicg_mb(enabled) -> None:
