@@ -1,0 +1,191 @@
+"""On-device PPO training demonstration on RBC heater control (real TPU).
+
+The reference's headline use case is RL training on its envs (SB3 PPO, one
+CUDA env, CPU policy updates -- README.md:58).  Here the whole loop is
+TPU-native: 64 vmapped envs step as one device program (BatchedFluidEnv),
+and the PPO update is a jitted optax step.  Start states come from the
+bundled developed-convection datasets with randomization; rewards are
+statistics-normalized (nu_ref - Nu), so mean reward > 0 means the policy
+suppresses convection below the uncontrolled baseline.
+
+Run (TPU):  PYTHONPATH=/root/repo python -u scripts/train_ppo_tpu.py \
+                [--iters 60] [--minutes 25] [--n-envs 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fluidgym_tpu.parallel import BatchedFluidEnv
+
+ROLLOUT_STEPS = 32
+PPO_EPOCHS = 4
+MINIBATCHES = 4
+CLIP = 0.2
+GAMMA = 0.99
+LAM = 0.95
+LR = 3e-4
+HIDDEN = 128
+
+
+def flat_obs(obs, n_envs):
+    parts = [jnp.asarray(obs[k]).reshape(n_envs, -1)
+             for k in sorted(obs)]
+    return jnp.concatenate(parts, axis=1)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env-id", default="RBC2D-easy-v0")
+    ap.add_argument("--n-envs", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument("--minutes", type=float, default=25.0,
+                    help="wall-clock budget; stops early when exceeded")
+    ap.add_argument("--dev", action="store_true",
+                    help="tiny CPU smoke-test configuration")
+    args = ap.parse_args()
+
+    kw = {}
+    if args.dev:
+        kw = dict(n_heaters=4, resolution=4, load_initial_domain=False,
+                  load_domain_statistics=False, randomize_initial_state=False,
+                  step_length=0.1, dt=0.05, episode_length=8)
+    benv = BatchedFluidEnv(args.env_id, n_envs=args.n_envs, **kw)
+    n_envs = args.n_envs
+    obs, _ = benv.reset(seed=0)
+    x = flat_obs(obs, n_envs)
+    obs_dim = int(x.shape[1])
+    act_dim = int(np.prod(benv.action_space.shape))
+    print(f"obs_dim={obs_dim} act_dim={act_dim} n_envs={n_envs}", flush=True)
+
+    def init_params(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        s = lambda k, i, o, g=1.0: jax.random.normal(k, (i, o)) * g * (2.0 / i) ** 0.5
+        return {
+            "w1": s(k1, obs_dim, HIDDEN), "b1": jnp.zeros(HIDDEN),
+            "wp": s(k2, HIDDEN, act_dim, 0.01), "bp": jnp.zeros(act_dim),
+            "wv": s(k3, HIDDEN, 1, 0.1), "bv": jnp.zeros(1),
+            "log_std": jnp.full((act_dim,), -0.7),
+        }
+
+    def forward(p, x):
+        h = jnp.tanh(x @ p["w1"] + p["b1"])
+        return jnp.tanh(h @ p["wp"] + p["bp"]), p["log_std"], (h @ p["wv"] + p["bv"])[..., 0]
+
+    def logp_gaussian(mean, log_std, a):
+        var = jnp.exp(2 * log_std)
+        return jnp.sum(-0.5 * ((a - mean) ** 2 / var + 2 * log_std
+                               + jnp.log(2 * jnp.pi)), axis=-1)
+
+    @jax.jit
+    def act(p, x, key):
+        mean, log_std, v = forward(p, x)
+        a = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
+        return a, logp_gaussian(mean, log_std, a), v
+
+    opt = optax.adam(LR)
+
+    @jax.jit
+    def ppo_update(p, opt_state, batch):
+        def loss_fn(pp):
+            mean, log_std, v = forward(pp, batch["obs"])
+            logp = logp_gaussian(mean, log_std, batch["act"])
+            ratio = jnp.exp(logp - batch["logp"])
+            adv = batch["adv"]
+            pg = -jnp.minimum(ratio * adv,
+                              jnp.clip(ratio, 1 - CLIP, 1 + CLIP) * adv).mean()
+            vloss = jnp.mean((v - batch["ret"]) ** 2)
+            ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+            return pg + 0.5 * vloss - 0.001 * ent, pg
+        (_, pg), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        upd, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(p, upd), opt_state, pg
+
+    key = jax.random.PRNGKey(0)
+    params = init_params(key)
+    opt_state = opt.init(params)
+    rew_trace = []
+    t0 = time.time()
+    env_steps = 0
+
+    for it in range(args.iters):
+        if (time.time() - t0) / 60.0 > args.minutes:
+            print(f"wall budget reached at iter {it}", flush=True)
+            break
+        buf = {k: [] for k in ("obs", "act", "logp", "rew", "val")}
+        for _ in range(ROLLOUT_STEPS):
+            key, sub = jax.random.split(key)
+            a, logp, v = act(params, x, sub)
+            a_env = jnp.clip(a, -1, 1).reshape(
+                (n_envs,) + tuple(benv.action_space.shape))
+            obs, rew, term, trunc, info = benv.step(a_env)
+            for k, val in zip(buf, (x, a, logp, jnp.asarray(rew), v)):
+                buf[k].append(val)
+            x = flat_obs(obs, n_envs)
+        env_steps += ROLLOUT_STEPS * n_envs
+        _, _, last_v = act(params, x, key)
+
+        rews = jnp.stack(buf["rew"]).astype(jnp.float32)
+        vals = jnp.stack(buf["val"] + [last_v])
+        adv = np.zeros(rews.shape, np.float32)
+        gae = np.zeros(n_envs, np.float32)
+        rews_h, vals_h = np.asarray(rews), np.asarray(vals)
+        for t in reversed(range(rews.shape[0])):
+            delta = rews_h[t] + GAMMA * vals_h[t + 1] - vals_h[t]
+            gae = delta + GAMMA * LAM * gae
+            adv[t] = gae
+        ret = adv + vals_h[:-1]
+        advn = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+        flat = {
+            "obs": jnp.concatenate(buf["obs"]),
+            "act": jnp.concatenate(buf["act"]),
+            "logp": jnp.concatenate(buf["logp"]),
+            "adv": jnp.asarray(advn.reshape(-1)),
+            "ret": jnp.asarray(ret.reshape(-1)),
+        }
+        n = flat["obs"].shape[0]
+        mb = n // MINIBATCHES
+        for _ in range(PPO_EPOCHS):
+            key, sub = jax.random.split(key)
+            perm = jax.random.permutation(sub, n)
+            for m in range(MINIBATCHES):
+                idx = perm[m * mb:(m + 1) * mb]
+                batch = {k: v[idx] for k, v in flat.items()}
+                params, opt_state, pg = ppo_update(params, opt_state, batch)
+
+        r_mean = float(rews.mean())
+        rew_trace.append(r_mean)
+        print(f"iter {it}: mean_reward={r_mean:+.5f} "
+              f"env_steps={env_steps} "
+              f"({env_steps / (time.time() - t0):.0f} env-steps/s)", flush=True)
+
+    k = max(3, len(rew_trace) // 5)
+    result = {
+        "env_id": args.env_id,
+        "n_envs": n_envs,
+        "iterations": len(rew_trace),
+        "env_steps": env_steps,
+        "wall_minutes": (time.time() - t0) / 60.0,
+        "reward_first_k": float(np.mean(rew_trace[:k])) if rew_trace else None,
+        "reward_last_k": float(np.mean(rew_trace[-k:])) if rew_trace else None,
+        "reward_trace": rew_trace,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
