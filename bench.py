@@ -18,9 +18,11 @@ at 256^2, batch 64" plus a grad-through-rollout timing.  Measured here as:
   vs_baseline >= 1.0 means the 50x target is met.  Numerator and denominator
   share state and physics settings; only device and batching differ.
 * ``extra`` -- the round-1 flagship row (res 24, ~14k cells) for continuity,
-  and the north star's gradient metric: seconds per differentiable env step
-  (value+grad of mean reward w.r.t. actions, batch 8) and its ratio to the
-  forward-only step.
+  the north star's gradient metric (seconds per differentiable env step:
+  value+grad of mean reward w.r.t. actions, batch 8, and its ratio to the
+  forward-only step), and one batched-throughput row per remaining family
+  (RBC2D / TCFSmall3D / Airfoil2D at their bundled developed datasets) so
+  every family is regression-tracked, not just cylinder.
 """
 
 from __future__ import annotations
@@ -147,6 +149,34 @@ def _grad_metrics(resolution=24, batch=GRAD_BATCH):
     return t_grad, t_grad / t_fwd
 
 
+def _family_sps(env_id, batch, n_warm=2, n_measure=5, **kw) -> float:
+    """Batched env-steps/s for one registered id at its bundled developed
+    dataset (default kwargs: load_initial_domain=True), covering the three
+    non-cylinder families so every family's throughput is regression-tracked
+    (VERDICT r2 weak #4)."""
+    import jax
+    import jax.numpy as jnp
+
+    import fluidgym_tpu
+
+    env = fluidgym_tpu.make(env_id, episode_length=10**9,
+                            randomize_initial_state=False, **kw)
+    env.reset(seed=0)
+    carry = env._pure_carry()
+    bcarry = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape), carry)
+    act_shape = tuple(env.action_space.shape)
+    if env.use_marl:
+        act_shape = (env.n_agents,) + act_shape
+        step = env._pure_step_marl
+    else:
+        step = env._pure_step
+    bact = jnp.zeros((batch,) + act_shape, jnp.float32)
+    fn = jax.jit(jax.vmap(step))
+    dt = _time_steps(fn, bcarry, bact, n_warm, n_measure)
+    return batch / dt
+
+
 def _cpu_single_env_sps(resolution) -> float:
     """Single-env CPU throughput at the SAME developed state, reference-parity
     settings, in a subprocess on the host CPU backend."""
@@ -191,6 +221,20 @@ def main() -> None:
     except Exception:
         cpu_sps, vs_baseline = float("nan"), float("nan")
 
+    family_rows = {}
+    for key, env_id, batch, kw in (
+        ("rbc2d_easy_batch64_env_steps_per_sec", "RBC2D-easy-v0", 64, {}),
+        ("tcf_small3d_easy_batch4_env_steps_per_sec",
+         "TCFSmall3D-bottom-easy-v0", 4, {"use_marl": False}),
+        ("airfoil2d_easy_batch8_env_steps_per_sec", "Airfoil2D-easy-v0", 8,
+         {}),
+    ):
+        try:
+            family_rows[key] = round(float(_family_sps(env_id, batch, **kw)), 3)
+        except Exception as e:  # a family regression must not sink the bench
+            family_rows[key] = None
+            sys.stderr.write(f"family bench {env_id} failed: {e!r}\n")
+
     print(json.dumps({
         "metric": "cylinder2d_256sq_env_steps_per_sec_batch64",
         "value": round(float(sps_256), 3),
@@ -202,6 +246,7 @@ def main() -> None:
             "cpu_single_env_steps_per_sec_res56": round(float(cpu_sps), 5),
             "grad_step_seconds_batch8_res24": round(float(grad_s), 4),
             "grad_over_forward_ratio": round(float(grad_ratio), 3),
+            **family_rows,
         },
     }))
 

@@ -1,14 +1,20 @@
 """Evaluation callback for Stable-Baselines3 training.
 
-Mirrors ``/root/reference/src/fluidgym/integration/sb3/eval_callback.py``:
-periodic evaluation episodes with CSV logging, optional wandb logging,
-latest-model checkpointing, and controlled-vs-uncontrolled sequence plots.
-Gated on stable-baselines3 being installed.
+Plays the role of the reference's periodic-eval callback
+(``/root/reference/src/fluidgym/integration/sb3/eval_callback.py``) —
+periodic val-mode evaluation, training/eval metric logging to CSV and
+optionally wandb, latest-model checkpointing, controlled-vs-uncontrolled
+sequence plots — but is structured around this framework's conventions:
+a drainable rolling meter for training statistics, incremental CSV
+appends (stdlib ``csv``, no dataframe round-trips), and a context manager
+for the train/val mode switch.  Gated on stable-baselines3 being
+installed.
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
+import contextlib
+import csv
 from pathlib import Path
 
 import numpy as np
@@ -27,11 +33,74 @@ except Exception:  # pragma: no cover - sb3 not installed
 __all__ = ["EvalCallback"]
 
 
-class EvalCallback(_BaseCallback):
-    """Periodic evaluation + logging callback (eval_callback.py:20-281).
+class _RollingMeter:
+    """Accumulates per-step scalars and drains to means.
 
-    Evaluation episodes run with the eval env switched to VAL mode (its
-    initial-domain split); the mode is restored afterwards."""
+    One instance covers reward plus every declared env metric; ``drain``
+    returns the means since the last drain and resets."""
+
+    def __init__(self, keys):
+        self._keys = list(keys)
+        self.reset()
+
+    def reset(self) -> None:
+        self._sums = {k: 0.0 for k in self._keys}
+        self._count = 0
+
+    def push(self, reward, infos) -> None:
+        self._sums["reward"] += float(np.mean(reward))
+        for k in self._keys:
+            if k == "reward":
+                continue
+            vals = [np.mean(np.asarray(info[k], dtype=np.float64))
+                    for info in infos if k in info]
+            if vals:
+                self._sums[k] += float(np.mean(vals))
+        self._count += 1
+
+    def drain(self) -> dict[str, float]:
+        n = max(self._count, 1)
+        out = {f"mean_{k}" if k != "reward" else "mean_reward": s / n
+               for k, s in self._sums.items()}
+        self.reset()
+        return out
+
+
+class _CsvSink:
+    """Appends metric rows to a CSV, rewriting the header only when the
+    column set grows (training rows and eval rows carry different tags)."""
+
+    def __init__(self, path: Path):
+        self.path = Path(path)
+        self._columns: list[str] = []
+        self._rows: list[dict] = []
+
+    def append(self, row: dict) -> None:
+        self._rows.append(dict(row))
+        new_cols = [c for c in row if c not in self._columns]
+        if new_cols:
+            self._columns.extend(new_cols)
+        self.flush()
+
+    def flush(self) -> None:
+        with self.path.open("w", newline="") as fh:
+            writer = csv.DictWriter(fh, fieldnames=self._columns,
+                                    restval="")
+            writer.writeheader()
+            writer.writerows(self._rows)
+
+
+class EvalCallback(_BaseCallback):
+    """Periodic evaluation + logging callback.
+
+    During training, per-step rewards and declared metrics are averaged
+    into a rolling meter and emitted every ``log_freq`` env steps under the
+    ``training/`` tag.  Every ``eval_freq`` env steps the eval env is
+    switched to its validation split and the current policy is rolled for
+    ``n_eval_episodes`` episodes; the first episode is deterministic
+    (un-randomized start) and produces the sequence plot against the
+    bundled uncontrolled episode.  Counterpart of the reference callback at
+    eval_callback.py:20-281 (API surface only; internals differ)."""
 
     def __init__(
         self,
@@ -43,157 +112,125 @@ class EvalCallback(_BaseCallback):
         checkpoint_latest: bool = True,
         verbose: int = 1,
         save_eval_sequence: bool = True,
+        log_freq: int | None = None,
+        log_path: str | Path = "training_log.csv",
     ):
         if not _HAS_SB3:
             raise ImportError(
                 "stable-baselines3 is required for EvalCallback.")
-        super().__init__(verbose)
+        if _BaseCallback is object:  # test path without sb3 installed
+            self.verbose = verbose
+            self.num_timesteps = 0
+            self.locals: dict = {}
+        else:
+            super().__init__(verbose)
         self.env = env
         self.eval_env = eval_env
-        self.eval_freq = eval_freq
-        self.log_freq = max(eval_freq // 10, 1)
-        self.n_eval_episodes = n_eval_episodes
+        self.eval_freq = int(eval_freq)
+        self.log_freq = int(log_freq) if log_freq else max(eval_freq // 10, 1)
+        self.n_eval_episodes = int(n_eval_episodes)
         self.use_wandb = use_wandb
         self.checkpoint_latest = checkpoint_latest
         self.save_evaluation = save_eval_sequence
 
-        if isinstance(env, VecFluidEnv) and env.unwrapped.use_marl:
-            self.num_actions = env.num_envs
-            self.metrics = ["global_reward"] + list(env.unwrapped.metrics)
-        else:
-            self.num_actions = int(self.env.action_space.shape[0])
-            self.metrics = list(env.unwrapped.metrics)
+        self._marl_vec = (isinstance(env, VecFluidEnv)
+                          and env.unwrapped.use_marl)
+        metric_keys = list(env.unwrapped.metrics)
+        if self._marl_vec:
+            metric_keys = ["global_reward"] + metric_keys
+        self.metrics = metric_keys
+        self.num_actions = (env.num_envs if self._marl_vec
+                            else int(env.action_space.shape[0]))
 
-        self.last_eval_timesteps = 0
-        self.last_log_timesteps = 0
-        self.logged_reward: float | np.ndarray = 0
-        self.logged_length = 0
-        self.logged_metrics: dict[str, float] = defaultdict(float)
-        self.logged_data: list[dict[str, float]] = []
+        self._meter = _RollingMeter(["reward"] + metric_keys)
+        self._next_log_at = self.log_freq
+        self._next_eval_at = self.eval_freq
+        self._sink = _CsvSink(Path(log_path))
         self.uncontrolled_sequence_df = None
+
+    # -- step accounting ---------------------------------------------------
 
     @property
     def _num_env_steps(self) -> int:
-        if isinstance(self.env, VecFluidEnv) and self.env.unwrapped.use_marl:
-            return self.num_timesteps // self.env.num_envs
-        return self.num_timesteps
+        """SB3 counts one timestep per vec-env slot; under the
+        agents-as-envs trick all slots belong to one physical env."""
+        n = self.num_timesteps
+        return n // self.env.num_envs if self._marl_vec else n
+
+    # -- logging -----------------------------------------------------------
 
     def _log(self, data: dict, step: int, tag: str) -> None:
-        data = {f"{tag}/{k}": float(v) for k, v in data.items()}
-        self.logged_data.append({"step": step, **data})
+        tagged = {f"{tag}/{k}": float(v) for k, v in data.items()}
+        self._sink.append({"step": step, **tagged})
         if self.verbose:
-            print(f"Step {step}: "
-                  + ", ".join(f"{k}={v:.4f}" for k, v in data.items()))
+            rendered = ", ".join(f"{k}={v:.4f}" for k, v in tagged.items())
+            print(f"Step {step}: {rendered}")
         if self.use_wandb:
             import wandb
 
-            wandb.log(data, step=step)
+            wandb.log(tagged, step=step)
 
-    def _on_step(self) -> bool:
-        self.logged_reward = self.logged_reward + self.locals["rewards"]
-        self.logged_length += 1
-        infos = self.locals["infos"]
-        for m in self.metrics:
-            vals = [np.asarray(info[m]).mean() for info in infos if m in info]
-            if vals:
-                self.logged_metrics[m] += float(np.mean(vals))
-
-        if self._num_env_steps - self.last_log_timesteps >= self.log_freq:
-            self.last_log_timesteps = self._num_env_steps
-            self._log(
-                {"mean_reward": float(np.mean(self.logged_reward))
-                 / self.logged_length,
-                 **{f"mean_{m}": self.logged_metrics[m] / self.logged_length
-                    for m in self.metrics}},
-                step=self._num_env_steps, tag="training")
-            self.logged_reward = 0
-            self.logged_metrics = defaultdict(float)
-            self.logged_length = 0
-
-        if self._num_env_steps - self.last_eval_timesteps >= self.eval_freq:
-            self.last_eval_timesteps = self._num_env_steps
-            self._eval_step()
-        return True
+    # -- sb3 hooks ----------------------------------------------------------
 
     def _on_training_start(self) -> None:
-        self.uncontrolled_sequence_df = (
-            self.env.unwrapped.get_uncontrolled_episode_metrics())
-        if self.uncontrolled_sequence_df is not None:
-            import pandas as pd
+        df = self.env.unwrapped.get_uncontrolled_episode_metrics()
+        if df is not None:
+            df = df.iloc[:self.eval_env.unwrapped.episode_length]
+        self.uncontrolled_sequence_df = df
 
-            ep_len = self.eval_env.unwrapped.episode_length
-            df = self.uncontrolled_sequence_df
-            if len(df) > ep_len:
-                df = df.iloc[:ep_len]
-            elif len(df) < ep_len:
-                pad = pd.DataFrame(
-                    np.full((ep_len - len(df), len(df.columns)), np.nan),
-                    columns=df.columns)
-                df = pd.concat([df, pad], ignore_index=True)
-            self.uncontrolled_sequence_df = df
+    def _on_step(self) -> bool:
+        self._meter.push(self.locals["rewards"], self.locals["infos"])
+        steps = self._num_env_steps
+        if steps >= self._next_log_at:
+            self._next_log_at = steps + self.log_freq
+            self._log(self._meter.drain(), step=steps, tag="training")
+        if steps >= self._next_eval_at:
+            self._next_eval_at = steps + self.eval_freq
+            self._run_evaluation(steps)
+        return True
+
+    def _on_training_end(self) -> None:
+        self._sink.flush()
+        if self.checkpoint_latest:
+            self._save_model()
+
+    # -- evaluation ---------------------------------------------------------
+
+    @contextlib.contextmanager
+    def _val_split(self):
+        env = self.eval_env
+        switchable = hasattr(env, "val") and hasattr(env, "train")
+        if switchable:
+            env.val()
+        try:
+            yield env
+        finally:
+            if switchable:
+                env.train()
+
+    def _run_evaluation(self, steps: int) -> None:
+        with self._val_split() as env:
+            episode_rewards = []
+            for ep in range(self.n_eval_episodes):
+                first = ep == 0
+                save_name = (f"eval_sequence_{steps}"
+                             if first and self.save_evaluation else None)
+                sequence_df, metrics = evaluate_model(
+                    env=env, model=self.model, randomize=not first,
+                    save_name=save_name)
+                if first:
+                    if self.save_evaluation:
+                        plot_eval_sequence(
+                            env=env,
+                            uncontrolled_sequence_df=self.uncontrolled_sequence_df,
+                            sequence_df=sequence_df,
+                            output_file=Path(f"eval_sequence_{steps}.pdf"))
+                    eval_metrics = dict(metrics)
+                episode_rewards.append(metrics["mean_reward"])
+        eval_metrics["mean_reward"] = float(np.mean(episode_rewards))
+        self._log(eval_metrics, step=steps, tag="evaluation")
+        if self.checkpoint_latest:
+            self._save_model()
 
     def _save_model(self) -> None:
         self.model.save("ckpt_latest")
-
-    def _on_training_end(self) -> None:
-        import pandas as pd
-
-        self._write_training_log(pd)
-        if self.checkpoint_latest:
-            self._save_model()
-
-    def _write_training_log(self, pd) -> None:
-        """Write prior-run rows (snapshotted and backed up once) + the
-        current run's rows.  Merging against the on-disk file instead would
-        duplicate rows already written by earlier _eval_step calls."""
-        if not hasattr(self, "_prior_log_df"):
-            if Path("training_log.csv").exists():
-                self._prior_log_df = pd.read_csv("training_log.csv")
-                self._prior_log_df.to_csv("training_log_backup.csv",
-                                          index=False)
-            else:
-                self._prior_log_df = None
-        logged_df = pd.DataFrame(self.logged_data)
-        if self._prior_log_df is not None:
-            logged_df = pd.concat([self._prior_log_df, logged_df],
-                                  ignore_index=True)
-        logged_df.to_csv("training_log.csv", index=False)
-
-    def _eval_step(self) -> None:
-        import pandas as pd
-
-        if hasattr(self.eval_env, "val"):
-            self.eval_env.val()
-        try:
-            mean_eval_reward = self._evaluate_model(
-                self.eval_env, randomize=False, log=True,
-                save=self.save_evaluation)
-            if self.n_eval_episodes > 1:
-                rewards = [mean_eval_reward]
-                for _ in range(self.n_eval_episodes - 1):
-                    rewards.append(self._evaluate_model(
-                        self.eval_env, randomize=True, log=False, save=False))
-                mean_eval_reward = float(np.mean(rewards))
-        finally:
-            if hasattr(self.eval_env, "train"):
-                self.eval_env.train()
-
-        self._write_training_log(pd)
-        if self.checkpoint_latest:
-            self._save_model()
-
-    def _evaluate_model(self, env, randomize: bool, log: bool = False,
-                        save: bool = False) -> float:
-        sequence_df, mean_eval_metrics = evaluate_model(
-            env=env, model=self.model, randomize=randomize,
-            save_name=f"eval_sequence_{self._num_env_steps}" if save else None)
-        if save:
-            plot_eval_sequence(
-                env=env,
-                uncontrolled_sequence_df=self.uncontrolled_sequence_df,
-                sequence_df=sequence_df,
-                output_file=Path(".") / f"eval_sequence_{self._num_env_steps}.pdf")
-        if log:
-            self._log(mean_eval_metrics, step=self._num_env_steps,
-                      tag="evaluation")
-        return mean_eval_metrics["mean_reward"]

@@ -55,24 +55,28 @@ def make_mesh(n_dp: int | None = None, n_sp: int = 1,
     return Mesh(devices[: n_dp * n_sp].reshape(n_dp, n_sp), ("dp", "sp"))
 
 
-def _leaf_spec(leaf: Array, x_size: int, n_shards: int,
+def _leaf_spec(leaf: Array, dim_size: int, spatial_dim: int, n_shards: int,
                spatial_axis_name: str | None,
                batch_axis_name: str | None, batched: bool) -> P:
     """PartitionSpec for one DomainState leaf.
 
-    Shard the trailing axis iff it is the block's x extent and divides
-    evenly over the mesh axis (face data on -x/+x boundaries has x extent 1
-    and stays replicated; y/z-face data keeps the x axis and is sharded)."""
+    Shard array axis ``-1 - spatial_dim`` iff its extent matches the block's
+    extent on that spatial dimension and divides evenly over the mesh axis
+    (face data perpendicular to the sharded dimension has extent 1 there and
+    stays replicated; other face data keeps the dimension and is sharded)."""
     ndim = leaf.ndim - (1 if batched else 0)
     lead = (batch_axis_name,) if batched else ()
-    shard_x = (
+    axis = ndim - 1 - spatial_dim
+    shard = (
         spatial_axis_name is not None
-        and ndim >= 1
-        and leaf.shape[-1] == x_size
-        and x_size % n_shards == 0
+        and axis >= 0
+        and leaf.shape[-1 - spatial_dim] == dim_size
+        and dim_size % n_shards == 0
     )
-    if shard_x:
-        return P(*lead, *([None] * (ndim - 1)), spatial_axis_name)
+    if shard:
+        spec = [None] * ndim
+        spec[axis] = spatial_axis_name
+        return P(*lead, *spec)
     return P(*lead)
 
 
@@ -82,6 +86,7 @@ def domain_state_shardings(
     *,
     spatial_axis_name: str | None = "sp",
     batch_axis_name: str | None = None,
+    spatial_dim: "int | str" = "x",
 ) -> DomainState:
     """A ``DomainState``-shaped pytree of ``NamedSharding``s for ``state``.
 
@@ -90,27 +95,33 @@ def domain_state_shardings(
     state : the (optionally batched) domain state to build shardings for.
     mesh : device mesh containing ``spatial_axis_name`` (and
         ``batch_axis_name`` if given).
-    spatial_axis_name : mesh axis to shard the trailing (x) spatial axis of
-        every block field over; ``None`` disables spatial sharding.
+    spatial_axis_name : mesh axis to shard one spatial dimension of every
+        block field over; ``None`` disables spatial sharding.
     batch_axis_name : if the state has a leading env-batch axis on every
         leaf (``BatchedFluidEnv`` style), the mesh axis to shard it over.
+    spatial_dim : which spatial dimension to decompose — ``"x"`` (trailing
+        array axis, default), ``"y"``, or ``"z"``, or the equivalent offset
+        from the trailing axis (0/1/2).  Lets large 3D channels (TCFLarge,
+        128x65x128) shard whichever extent is largest.
 
-    Blocks whose x extent does not divide the mesh axis size are left
-    replicated (the cylinder O-grid's small cap blocks, for example, while
-    its wide wake block still shards).
+    Blocks whose extent on the chosen dimension does not divide the mesh
+    axis size are left replicated (the cylinder O-grid's small cap blocks,
+    for example, while its wide wake block still shards).
     """
+    if isinstance(spatial_dim, str):
+        spatial_dim = {"x": 0, "y": 1, "z": 2}[spatial_dim]
     n_shards = (mesh.shape[spatial_axis_name]
                 if spatial_axis_name is not None else 1)
     batched = batch_axis_name is not None
 
     def block_specs(blk):
-        # the trailing axis of the block's cell fields is its x extent
-        x_size = blk.pressure.shape[-1]
+        # cell-field layout is (C, [z,] y, x): dim offset from trailing axis
+        dim_size = blk.pressure.shape[-1 - spatial_dim]
         return jax.tree.map(
             lambda leaf: NamedSharding(
                 mesh,
-                _leaf_spec(leaf, x_size, n_shards, spatial_axis_name,
-                           batch_axis_name, batched),
+                _leaf_spec(leaf, dim_size, spatial_dim, n_shards,
+                           spatial_axis_name, batch_axis_name, batched),
             ),
             blk,
         )
@@ -134,6 +145,7 @@ def shard_domain_state(
     *,
     spatial_axis_name: str | None = "sp",
     batch_axis_name: str | None = None,
+    spatial_dim: "int | str" = "x",
 ) -> tuple[DomainState, DomainState]:
     """``device_put`` ``state`` with spatial (and batch) shardings.
 
@@ -143,6 +155,6 @@ def shard_domain_state(
     """
     specs = domain_state_shardings(
         state, mesh, spatial_axis_name=spatial_axis_name,
-        batch_axis_name=batch_axis_name,
+        batch_axis_name=batch_axis_name, spatial_dim=spatial_dim,
     )
     return jax.device_put(state, specs), specs

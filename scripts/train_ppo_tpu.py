@@ -53,6 +53,8 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--minutes", type=float, default=25.0,
                     help="wall-clock budget; stops early when exceeded")
+    ap.add_argument("--eval-steps", type=int, default=60,
+                    help="final controlled-vs-uncontrolled eval horizon")
     ap.add_argument("--dev", action="store_true",
                     help="tiny CPU smoke-test configuration")
     args = ap.parse_args()
@@ -172,17 +174,58 @@ def main() -> int:
               f"env_steps={env_steps} "
               f"({env_steps / (time.time() - t0):.0f} env-steps/s)", flush=True)
 
+    train_minutes = (time.time() - t0) / 60.0
+
+    # final controlled-vs-uncontrolled eval: deterministic (mean-action)
+    # policy and the zero-action baseline from the SAME fresh resets
+    metric = benv.env.metrics[0] if benv.env.metrics else None
+    obs, _ = benv.reset(seed=10_000)
+    x = flat_obs(obs, n_envs)
+
+    def run_eval(policy_fn, steps):
+        nonlocal obs, x
+        rs, ms = [], []
+        for _ in range(steps):
+            a_env = policy_fn(x).reshape(
+                (n_envs,) + tuple(benv.action_space.shape))
+            obs, rew, term, trunc, info = benv.step(a_env)
+            rs.append(np.asarray(rew))
+            if metric is not None:
+                ms.append(np.asarray(info[metric]))
+            x = flat_obs(obs, n_envs)
+        return (float(np.mean(rs)),
+                float(np.mean(ms)) if ms else None)
+
+    @jax.jit
+    def det_action(x):
+        mean, _, _ = forward(params, x)
+        return jnp.clip(mean, -1, 1)
+
+    eval_steps = args.eval_steps
+    pol_rew, pol_metric = run_eval(det_action, eval_steps)
+    obs, _ = benv.reset(seed=10_000)
+    x = flat_obs(obs, n_envs)
+    zero = jnp.zeros((n_envs, act_dim), jnp.float32)
+    base_rew, base_metric = run_eval(lambda _x: zero, eval_steps)
+
     k = max(3, len(rew_trace) // 5)
     result = {
         "env_id": args.env_id,
         "n_envs": n_envs,
         "iterations": len(rew_trace),
         "env_steps": env_steps,
-        "wall_minutes": (time.time() - t0) / 60.0,
+        "wall_minutes": train_minutes,
         "reward_first_k": float(np.mean(rew_trace[:k])) if rew_trace else None,
         "reward_last_k": float(np.mean(rew_trace[-k:])) if rew_trace else None,
+        "eval_steps": eval_steps,
+        "eval_policy_mean_reward": pol_rew,
+        "eval_uncontrolled_mean_reward": base_rew,
+        "improvement": pol_rew - base_rew,
         "reward_trace": rew_trace,
     }
+    if metric is not None:
+        result[f"eval_policy_mean_{metric}"] = pol_metric
+        result[f"eval_uncontrolled_mean_{metric}"] = base_metric
     print(json.dumps(result))
     return 0
 

@@ -41,6 +41,20 @@ assert len(jax.devices()) >= 8, (
 )
 
 
+def pytest_collection_modifyitems(config, items):
+    """Deselect @pytest.mark.slow tests by default (the full physics marches
+    push the suite to ~50 min on one CPU core).  They still run under
+    ``pytest -m slow`` (or any explicit ``-m`` expression) and when
+    ``FLUIDGYM_TEST_SLOW=1`` is set."""
+    if config.option.markexpr or os.environ.get("FLUIDGYM_TEST_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow: run with -m slow or FLUIDGYM_TEST_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True)
 def _isolated_data_path(tmp_path, monkeypatch):
     """Point the data path at a temp dir so tests never touch user caches."""

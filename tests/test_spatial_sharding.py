@@ -152,3 +152,41 @@ def test_tcf_sharded_step_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out.blocks[0].pressure),
         np.asarray(ref.blocks[0].pressure), rtol=0, atol=1e-4)
+
+
+def test_tcf_sharded_along_z_matches_unsharded():
+    """Generalized-axis decomposition: the same tiny 3D TCF sharded along
+    its z dimension (spatial_dim="z") -- TCFLarge's largest extents are x
+    AND z, so the axis choice must not be hard-wired to x."""
+    assert len(jax.devices()) >= 8, "conftest forces 8 virtual devices"
+    env = fluidgym_tpu.make(
+        "TCFSmall3D-bottom-easy-v0", use_marl=False,
+        resolution_y=9, resolution_x_z=16, actor_size=4,
+        load_initial_domain=False, load_domain_statistics=False,
+        randomize_initial_state=False, episode_length=3, step_length=0.3)
+    env.reset(seed=0)
+    geoms, topo, cfg, hooks = env._geoms, env._topo, env._cfg, env._hooks
+    state = env._state
+
+    ref = jax.jit(
+        lambda s: single_step(s, geoms, topo, cfg, hooks)
+    )(state)
+
+    mesh = make_mesh(n_sp=4)
+    sharded, specs = shard_domain_state(state, mesh, spatial_dim="z")
+    blk_spec = specs.blocks[0]
+    assert blk_spec.pressure.spec[-3] == "sp"  # z extent 16 shards over 4
+    assert blk_spec.pressure.spec[-1] is None  # x stays whole
+    step = jax.jit(
+        lambda s: single_step(s, geoms, topo, cfg, hooks),
+        in_shardings=(specs,),
+        out_shardings=specs,
+    )
+    out = step(sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(out.blocks[0].velocity),
+        np.asarray(ref.blocks[0].velocity), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.blocks[0].pressure),
+        np.asarray(ref.blocks[0].pressure), rtol=0, atol=1e-4)
