@@ -146,6 +146,27 @@ class AirfoilEnvBase(WallForcesMixin, FluidEnv):
             return self._metrics_stats["lift"].mean / self._metrics_stats["drag"].mean
         return 0.0
 
+    def _episode_physics_violations(self, rows: list[dict]) -> list[str]:
+        """A stationary airfoil in uniform flow cannot produce sustained net
+        thrust, and its lift stays within a small multiple of the median;
+        rows outside these bounds mean the snapshot is not developed (or the
+        simulation is unstable) — the failure mode behind the contaminated
+        Re3000 test snapshots flagged in round 2."""
+        out = []
+        drag = np.asarray([float(r["drag"]) for r in rows if "drag" in r])
+        lift = np.asarray([float(r["lift"]) for r in rows if "lift" in r])
+        if drag.size:
+            frac = float((drag <= 0.0).mean())
+            if frac > 0.02:
+                out.append(f"drag <= 0 (net thrust) on {frac:.0%} of steps")
+        if lift.size:
+            scale = max(float(np.median(np.abs(lift))), 1e-6)
+            frac = float((np.abs(lift) > 10.0 * scale).mean())
+            if frac > 0.02:
+                out.append(
+                    f"|lift| beyond 10x its median scale on {frac:.0%} of steps")
+        return out
+
     # ------------------------------------------------------------------
     # domain / simulation
     # ------------------------------------------------------------------

@@ -775,6 +775,90 @@ class FluidEnv(ABC, FluidEnvLike):
         data_utils.save_statistics(self.initial_domain_id, stats)
         self._metrics_stats = {k: Stats(**v) for k, v in stats.items()}
 
+    # -- episode-trace sanity -------------------------------------------
+    #
+    # Domain statistics normalize every reward in training, so a handful of
+    # non-converged or transient-contaminated steps in one snapshot's
+    # uncontrolled episode shifts the reward zero-point of every run on that
+    # config.  Rows are screened before pooling, and whole episodes are
+    # screened before a snapshot is considered developed.
+
+    #: pooled rows whose solver did not converge are always dropped
+    _STATS_MAD_CLIP = 8.0   # row outlier: any metric beyond median +- k*MAD
+    _EPISODE_MAX_BAD_FRACTION = 0.10
+
+    @staticmethod
+    def _episode_row_masks(rows: list[dict]) -> tuple[np.ndarray, np.ndarray]:
+        """Per-row screening masks for an uncontrolled-episode trace.
+
+        Returns ``(converged, inlier)`` boolean arrays: ``converged`` is
+        False where the pressure solve reported failure; ``inlier`` is False
+        where any metric deviates more than ``_STATS_MAD_CLIP`` robust sigmas
+        (MAD-based) from that metric's median across the given rows."""
+        n = len(rows)
+        converged = np.array(
+            [float(r.get("pressure_converged", 1.0)) >= 0.5 for r in rows])
+        inlier = np.ones(n, bool)
+        if n < 8:   # too short for robust statistics; keep everything
+            return converged, inlier
+        keys = [k for k in rows[0]
+                if k != "pressure_converged"
+                and all(k in r for r in rows)]
+        for k in keys:
+            v = np.asarray([float(r[k]) for r in rows])
+            med = np.median(v)
+            # 1.4826*MAD estimates sigma for a normal distribution; floor it
+            # so near-constant metrics don't flag numeric noise
+            sigma = max(1.4826 * np.median(np.abs(v - med)),
+                        1e-9 + 1e-3 * abs(med))
+            inlier &= np.abs(v - med) <= FluidEnv._STATS_MAD_CLIP * sigma
+        return converged, inlier
+
+    def episode_sanity_violations(self, rows: list[dict]) -> list[str]:
+        """Physics sanity screen for one uncontrolled-episode trace; returns
+        human-readable violations (empty = trace looks like a developed,
+        stationary uncontrolled flow).  Families override
+        ``_episode_physics_violations`` to add domain bounds (e.g. the
+        airfoil requires positive drag on a stationary body)."""
+        out = []
+        if not rows:
+            return ["episode trace is empty"]
+        converged, inlier = self._episode_row_masks(rows)
+        bad = 1.0 - float(converged.mean())
+        if bad > 0.05:
+            out.append(f"pressure solver failed on {bad:.0%} of steps")
+        bad = 1.0 - float(inlier.mean())
+        if bad > self._EPISODE_MAX_BAD_FRACTION:
+            out.append(f"{bad:.0%} of steps are metric outliers "
+                       f"(>{self._STATS_MAD_CLIP} robust sigma)")
+        out.extend(self._episode_physics_violations(rows))
+        return out
+
+    def _episode_physics_violations(self, rows: list[dict]) -> list[str]:
+        """Family-specific physics bounds on an episode trace (override)."""
+        return []
+
+    def _pool_statistics_rows(
+            self, all_rows: list[dict]) -> dict[str, np.ndarray]:
+        """Pool episode rows into per-metric value arrays for the domain
+        statistics, dropping rows where the pressure solve failed and
+        robust-sigma outlier rows so the normalization references reflect
+        the stationary uncontrolled flow (the reference pools raw rows;
+        screening here is a documented deviation — docs/data.md)."""
+        converged, inlier = self._episode_row_masks(all_rows)
+        keep = converged & inlier
+        n_drop = int((~keep).sum())
+        if n_drop:
+            self._logger.warning(
+                "domain statistics: dropped %d/%d pooled steps "
+                "(%d non-converged, %d outliers)", n_drop, len(all_rows),
+                int((~converged).sum()), int((converged & ~inlier).sum()))
+        if not keep.any():   # pathological: keep raw rather than nothing
+            keep = np.ones(len(all_rows), bool)
+        kept = [r for r, k in zip(all_rows, keep) if k]
+        keys = [k for k in kept[0] if all(k in r for r in kept)]
+        return {k: np.asarray([float(r[k]) for r in kept]) for k in keys}
+
     # ------------------------------------------------------------------
     # initial-domain generation (offline; fluid_env.py:1114-1190)
     # ------------------------------------------------------------------
@@ -865,7 +949,7 @@ class FluidEnv(ABC, FluidEnvLike):
                         running = amortize
 
             # ---- stage 2: uncontrolled episodes + statistics ------------
-            metric_values: dict[str, list] = defaultdict(list)
+            all_rows: list[dict] = []
             for mode in MODE_SEEDS:
                 self.mode = mode
                 for idx in range(n_domains):
@@ -876,38 +960,71 @@ class FluidEnv(ABC, FluidEnvLike):
                                 self.initial_domain_id, mode.value, idx)
                         ]
                         if len(rows) >= episode_steps:
-                            for row in rows:
-                                for k, v in row.items():
-                                    metric_values[k].append(v)
+                            all_rows.extend(rows)
                             continue
                     except FileNotFoundError:
                         pass
-                    self.load_initial_domain(mode, idx, user_only=True)
-                    self.seed(MODE_SEEDS[mode] + idx)
-                    if verbose:
-                        self._logger.info(
-                            "init: uncontrolled episode mode=%s idx=%d "
-                            "(%d steps)", mode.value, idx, episode_steps)
-                    rows = []
-                    for _ in range(episode_steps):
-                        _, _, _, _, info = self.step(self._zero_action)
-                        self._n_steps = 0
-                        rows.append({
-                            k: float(np.asarray(v)) for k, v in info.items()
-                            if np.asarray(v).size == 1})
-                    data_utils.save_uncontrolled_episode(
-                        self.initial_domain_id, mode.value, idx, rows)
-                    for row in rows:
-                        for k, v in row.items():
-                            metric_values[k].append(v)
-            if metric_values:
+                    rows = self._record_uncontrolled_episode(
+                        mode, idx, episode_steps, verbose)
+                    all_rows.extend(rows)
+            if all_rows:
                 self._save_domain_statistics(
-                    {k: np.asarray(v) for k, v in metric_values.items()}
-                )
+                    self._pool_statistics_rows(all_rows))
         finally:
             self._load_domain_on_reset = was_loading
             self._enable_actions = was_actions
             self.mode = EnvMode.TRAIN
+
+    def _record_uncontrolled_episode(self, mode: EnvMode, idx: int,
+                                     episode_steps: int,
+                                     verbose: bool) -> list[dict]:
+        """Roll one zero-action episode from the saved (mode, idx) snapshot
+        and persist its per-step metrics CSV.
+
+        The trace is screened by ``episode_sanity_violations``; a snapshot
+        whose uncontrolled episode is non-stationary (solver failures,
+        metric outliers, family physics bounds) is treated as UNDERDEVELOPED:
+        its burn-in is extended in place by 50% of ``_initial_domain_steps``,
+        the snapshot is re-saved, and the episode re-recorded (two repair
+        attempts, then the best trace ships with a loud warning)."""
+        for attempt in range(3):
+            self.load_initial_domain(mode, idx, user_only=True)
+            self.seed(MODE_SEEDS[mode] + idx)
+            if verbose:
+                self._logger.info(
+                    "init: uncontrolled episode mode=%s idx=%d (%d steps)%s",
+                    mode.value, idx, episode_steps,
+                    f" [repair attempt {attempt}]" if attempt else "")
+            rows = []
+            for _ in range(episode_steps):
+                _, _, _, _, info = self.step(self._zero_action)
+                self._n_steps = 0
+                rows.append({
+                    k: float(np.asarray(v)) for k, v in info.items()
+                    if np.asarray(v).size == 1})
+            violations = self.episode_sanity_violations(rows)
+            if not violations:
+                break
+            if attempt == 2:
+                self._logger.warning(
+                    "init: episode mode=%s idx=%d STILL fails sanity after "
+                    "repairs (%s); shipping anyway — inspect this snapshot",
+                    mode.value, idx, "; ".join(violations))
+                break
+            extra = max(1, self._initial_domain_steps // 2)
+            self._logger.warning(
+                "init: episode mode=%s idx=%d fails sanity (%s); extending "
+                "burn-in by %d steps and re-recording",
+                mode.value, idx, "; ".join(violations), extra)
+            # the episode above already advanced the state past the snapshot;
+            # keep marching from here so the extension builds on it
+            for _ in range(extra):
+                self.step(self._zero_action)
+                self._n_steps = 0
+            self._save_initial_domain(mode, idx)
+        data_utils.save_uncontrolled_episode(
+            self.initial_domain_id, mode.value, idx, rows)
+        return rows
 
     # ------------------------------------------------------------------
     # rendering

@@ -34,7 +34,7 @@ from jax import lax
 Array = jax.Array
 Vec = Any  # an array or any pytree of arrays (e.g. tuple of per-block fields)
 
-__all__ = ["SolveInfo", "default_tolerance", "cg", "bicgstab"]
+__all__ = ["SolveInfo", "default_tolerance", "cg", "bicgstab", "refined"]
 
 
 def _vdot(a: Vec, b: Vec) -> Array:
@@ -191,6 +191,100 @@ def cg(
     converged = jnp.logical_or(converged, b_zero)
     info = SolveInfo(converged=converged, iterations=it, residual=jnp.sqrt(rs_out / n))
     return x, info
+
+
+def _two_sum_acc(hi: Vec, lo: Vec, d: Vec) -> tuple[Vec, Vec]:
+    """Accumulate ``d`` into the double-float pair ``(hi, lo)``.
+
+    Fast two-sum per leaf (exact in round-to-nearest when |hi| >= |d|, which
+    holds here because each refinement correction is orders of magnitude
+    smaller than the accumulated solution), followed by a renormalization so
+    ``lo`` stays a strict tail of ``hi``."""
+    def _acc(h, l, dd):
+        s = h + dd
+        err = (h - s) + dd
+        l2 = l + err
+        h3 = s + l2
+        l3 = (s - h3) + l2
+        return h3, l3
+    flat_h, treedef = jax.tree.flatten(hi)
+    flat_l = jax.tree.leaves(lo)
+    flat_d = jax.tree.leaves(d)
+    pairs = [_acc(h, l, dd) for h, l, dd in zip(flat_h, flat_l, flat_d)]
+    return (jax.tree.unflatten(treedef, [p[0] for p in pairs]),
+            jax.tree.unflatten(treedef, [p[1] for p in pairs]))
+
+
+def refined(
+    matvec: Callable[[Vec], Vec],
+    b: Vec,
+    inner: Callable[[Vec], Vec],
+    *,
+    tol: float,
+    restarts: int = 3,
+    x0: Vec | None = None,
+) -> tuple[Vec, SolveInfo]:
+    """Residual-rescaled iterative refinement around ANY fp32 inner solver.
+
+    fp32 Krylov stalls near ``eps * |x|``: once corrections ``alpha*p`` are
+    ~1e-7 relative to the accumulated iterate they round away, so tight
+    tolerances (airfoil 1e-7, 3D cylinder 5e-7) end by stagnation after
+    burning the stall patience (round-2 VALIDATION).  The reference escapes
+    to an fp64 re-solve (PISOtorch_diff.py:418-447); fp64 is not native on
+    TPU, so instead the solve is RESTARTED on the recomputed true residual,
+    RESCALED to unit RMS — putting the inner solve back in fp32's sweet spot
+    every time — while the solution accumulates in a double-float (hi, lo)
+    compensated pair whose effective precision is ~2x fp32 mantissa.  Each
+    restart multiplies the attainable residual by the inner solver's relative
+    tolerance, so a moderate inner tol (1e-3) reaches 1e-7+ in 2-3 restarts
+    WITHOUT any stall-patience burn.
+
+    ``inner(rhs) -> (x, SolveInfo)`` is the wrapped solver (XLA CG, the
+    fused/merged Pallas kernels, ...), called with a unit-RMS right-hand
+    side and a zero initial guess; ``x0`` warm-starts the OUTER accumulation.
+    All restarts execute under jit (masked to no-ops once converged:
+    converged lanes feed the inner solver an all-zero RHS, which every
+    solver here short-circuits), so the wrapper is vmap/batch-safe.
+    """
+    dt = _dtype(b)
+    n = _size(b)
+    tol2_sum = jnp.asarray((tol * tol) * n, dt)
+    tiny = jnp.asarray(1e-30, dt)
+
+    x_hi = _zeros_like(b) if x0 is None else x0
+    x_lo = _zeros_like(b)
+    total_it = jnp.asarray(0, jnp.int32)
+    rs = jnp.asarray(jnp.inf, dt)
+    for k in range(max(1, restarts)):
+        # true residual of the double-float iterate; hi first so the large
+        # cancellation happens before the small tail is subtracted
+        r = jax.tree.map(lambda bb, a: bb - a, b, matvec(x_hi))
+        r = jax.tree.map(lambda rr, a: rr - a, r, matvec(x_lo))
+        rs = _vdot(r, r).astype(dt)
+        done = rs <= tol2_sum
+        # rescale to unit RMS; converged lanes get an all-zero RHS (the
+        # inner solve short-circuits on it)
+        s = jnp.where(done, jnp.asarray(0, dt),
+                      lax.rsqrt(jnp.maximum(rs / n, tiny)))
+        rn = jax.tree.map(lambda rr: rr * s, r)
+        d, info = inner(rn)
+        total_it = total_it + info.iterations
+        inv_s = jnp.where(done, jnp.asarray(0, dt), 1.0 / jnp.maximum(s, tiny))
+        d = jax.tree.map(lambda dd: dd * inv_s, d)
+        x_hi, x_lo = _two_sum_acc(x_hi, x_lo, d)
+
+    # the caller consumes a single fp32 field: collapse, and report the
+    # residual OF THE COLLAPSED iterate (the honest downstream quantity --
+    # reachable because the pressure systems' natural scale keeps the
+    # fp32-representation floor eps*|A||x| below the declared tolerances)
+    x = jax.tree.map(lambda h, l: h + l, x_hi, x_lo)
+    r = jax.tree.map(lambda bb, a: bb - a, b, matvec(x))
+    rs = _vdot(r, r).astype(dt)
+    b_zero = _all_zero(b)
+    x = _where(b_zero, _zeros_like(x), x)
+    converged = jnp.logical_or(rs <= tol2_sum, b_zero)
+    return x, SolveInfo(converged=converged, iterations=total_it,
+                        residual=jnp.sqrt(rs / n))
 
 
 def bicgstab(

@@ -245,6 +245,18 @@ class SimConfig:
     # domains each iteration.  Only affects solves routed through the
     # merged kernel; ignored elsewhere.
     pressure_coarse_strips: bool = False
+    # Residual-rescaled iterative refinement around the pressure solve
+    # (linsolve.refined): restart the fp32 inner solver on the recomputed
+    # true residual rescaled to unit RMS, accumulating the solution in a
+    # compensated double-float pair.  Lifts the fp32 stagnation floor that
+    # makes the tight tolerances (airfoil 1e-7, 3D 5e-7/1e-8) end by stall
+    # patience: each restart multiplies the attainable residual by
+    # ``pressure_refine_inner_tol``, so 2-3 restarts reach 1e-7+ without
+    # burning stall iterations.  The reference escapes to an fp64 re-solve
+    # instead (PISOtorch_diff.py:418-447) -- fp64 is not native on TPU.
+    # 0 = off (single direct solve at ``pressure_tol``, status quo).
+    pressure_refine_restarts: int = 0
+    pressure_refine_inner_tol: float = 1e-3
     # Static bound on CFL substeps per env dt in DIFFERENTIABLE adaptive mode
     # (reverse-mode AD cannot differentiate a dynamic while_loop, so the
     # adaptive loop becomes a masked lax.scan of this fixed length; converged
@@ -413,7 +425,7 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
            return_best, differentiable=True, x0=None, precondition=False,
            x0_fn=None, stall_iters=250, coarse_fn=None,
            precond_override=None, coarse_strips=False,
-           matvec_extra=None):
+           matvec_extra=None, refine_restarts=0, refine_inner_tol=1e-3):
     """Differentiable global linear solve over all blocks; returns
     ``(x, SolveInfo)`` -- the convergence metadata the reference surfaces as
     ``LinearSolverResultInfo`` / raises as ``LinsolveError``
@@ -478,7 +490,7 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
         if not fused and precond_override is None:
             mplan = _fused_cg_mb_plan(ops, topo, coarse_fn)
 
-        def _merged_solve(bb, guess):
+        def _merged_solve(bb, guess, solve_tol=None):
             from fluidgym_tpu.ops import cg_pallas_mb
             from fluidgym_tpu.solver import block_merge
 
@@ -489,13 +501,36 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                 block_merge.pack_fields(mplan, bb),
                 x0s=None if guess is None
                 else block_merge.pack_fields(mplan, guess),
-                tol=tol_resolved, maxiter=maxiter,
+                tol=tol_resolved if solve_tol is None else solve_tol,
+                maxiter=maxiter,
                 stall_iters=stall_iters, precondition=precondition,
                 return_best=return_best, coarse_strips=coarse_strips)
             return tuple(block_merge.unpack_fields(mplan, xs)), inf
 
+        def _inner_for_refine(rhs):
+            """Path-specific inner solver on a unit-RMS RHS, zero guess,
+            at the refinement's inner tolerance (linsolve.refined)."""
+            if fused:
+                from fluidgym_tpu.ops import cg_pallas
+
+                x1, inf = cg_pallas.fused_cg(
+                    ops[0].diag, ops[0].off, rhs[0], x0=None,
+                    ndims=topo.ndims, tol=refine_inner_tol, maxiter=maxiter,
+                    stall_iters=stall_iters, precondition=precondition,
+                    return_best=return_best)
+                return (x1,), inf
+            if mplan is not None:
+                return _merged_solve(rhs, None, solve_tol=refine_inner_tol)
+            return linsolve.cg(mv, rhs, tol=refine_inner_tol,
+                               maxiter=maxiter, return_best=return_best,
+                               precond=precond_fn, stall_iters=stall_iters)
+
         if not differentiable:
             guess = x0_fn(b) if x0_fn is not None else x0
+            if refine_restarts > 0:
+                return linsolve.refined(mv, b, _inner_for_refine,
+                                        tol=tol_resolved,
+                                        restarts=refine_restarts, x0=guess)
             if fused:
                 from fluidgym_tpu.ops import cg_pallas
 
@@ -537,7 +572,17 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
             return jax.tree.map(
                 lambda gg: jnp.where(ok, gg, jnp.zeros_like(gg)), g)
 
-        if fused:
+        if refine_restarts > 0:
+            # refinement wraps the path-specific inner solver; the
+            # implicit-function VJP (custom_linear_solve) is unchanged --
+            # the refined iterate is just a better-converged black box
+            def solve_fn(mv_fn, bb):
+                guess = diff_guess(mv_fn, bb)
+                return linsolve.refined(mv, bb, _inner_for_refine,
+                                        tol=tol_resolved,
+                                        restarts=refine_restarts,
+                                        x0=guess)[0]
+        elif fused:
             from fluidgym_tpu.ops import cg_pallas
 
             # the kernel is a black-box inner solver: custom_linear_solve
@@ -1005,6 +1050,8 @@ def piso_substep_info(
                 coarse_fn=coarse_fn,
                 precond_override=mg_fn,
                 coarse_strips=cfg.pressure_coarse_strips,
+                refine_restarts=cfg.pressure_refine_restarts,
+                refine_inner_tol=cfg.pressure_refine_inner_tol,
             )
             info = info._replace(
                 pressure_converged=jnp.logical_and(

@@ -141,29 +141,34 @@ def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from collections import defaultdict
-
     from fluidgym_tpu.envs.fluid_env import MODE_SEEDS
     from fluidgym_tpu.utils import data_utils
 
     jobs = [(mode, idx) for mode in MODE_SEEDS for idx in range(n_domains)]
-    metric_values: dict[str, list] = defaultdict(list)
-    todo = []
+    all_rows: list[dict] = []
+    todo, repairs = [], []
     for mode, idx in jobs:
         try:
             rows = [{k: float(v) for k, v in r.items()}
                     for r in data_utils.load_uncontrolled_episode(
                         env.initial_domain_id, mode.value, idx)]
             if len(rows) >= episode_steps:
-                for row in rows:
-                    for k, v in row.items():
-                        metric_values[k].append(v)
+                violations = env.episode_sanity_violations(rows)
+                if violations:
+                    # a previously recorded trace that fails the screen gets
+                    # its snapshot repaired (extended burn-in) + re-recorded
+                    log(f"  reused episode {mode.value}_{idx:02d} fails "
+                        f"sanity ({'; '.join(violations)}); queued for repair")
+                    repairs.append((mode, idx))
+                else:
+                    all_rows.extend(rows)
                 continue
         except FileNotFoundError:
             pass
         todo.append((mode, idx))
     log(f"stage 2: {len(todo)} episodes of {episode_steps} steps "
-        f"({len(jobs) - len(todo)} reused)")
+        f"({len(jobs) - len(todo) - len(repairs)} reused, "
+        f"{len(repairs)} repairs)")
 
     step_fn = None
     for c0 in range(0, len(todo), lanes):
@@ -195,17 +200,30 @@ def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
                 log(f"  chunk {c0 // lanes}: t={t + 1}/{episode_steps} "
                     f"({rate:.2f} steps/s)")
         for lane, (mode, idx) in enumerate(chunk):
+            rows = rows_per_lane[lane]
+            violations = env.episode_sanity_violations(rows)
+            if violations:
+                log(f"  episode {mode.value}_{idx:02d} fails sanity "
+                    f"({'; '.join(violations)}); queued for repair")
+                repairs.append((mode, idx))
+                continue
             data_utils.save_uncontrolled_episode(
-                env.initial_domain_id, mode.value, idx, rows_per_lane[lane])
-            for row in rows_per_lane[lane]:
-                for k, v in row.items():
-                    metric_values[k].append(v)
+                env.initial_domain_id, mode.value, idx, rows)
+            all_rows.extend(rows)
             log(f"  saved episode {mode.value}_{idx:02d}")
 
-    if metric_values:
-        env._save_domain_statistics(
-            {k: np.asarray(v) for k, v in metric_values.items()})
-        log("saved domain_statistics.json")
+    for mode, idx in repairs:
+        # single-env repair path: extend the snapshot's burn-in in place and
+        # re-record (FluidEnv._record_uncontrolled_episode, two attempts)
+        env.mode = mode
+        rows = env._record_uncontrolled_episode(
+            mode, idx, episode_steps, verbose=True)
+        all_rows.extend(rows)
+        log(f"  repaired episode {mode.value}_{idx:02d}")
+
+    if all_rows:
+        env._save_domain_statistics(env._pool_statistics_rows(all_rows))
+        log("saved domain_statistics.json (screened pooling)")
 
 
 def bundle(env) -> None:

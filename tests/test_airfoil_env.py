@@ -54,6 +54,7 @@ def test_airfoil_attack_angle_validation():
         fluidgym_tpu.make("Airfoil2D-easy-v0", attack_angle_deg=25.0, **DEV_KW)
 
 
+@pytest.mark.slow  # ~21 min on one CPU core (3D airfoil compile + steps)
 def test_airfoil_3d_marl_contract(monkeypatch):
     import jax.numpy as jnp
 
@@ -94,6 +95,7 @@ def test_airfoil_action_zero_mean():
     assert np.allclose(np.asarray(m)[masked[2] > 0], -1.0)
 
 
+@pytest.mark.slow  # ~9 min on one CPU core
 def test_airfoil_local_2d_obs_matches_2d_env_shapes(monkeypatch):
     """local_2d_obs 3D MARL agents see observations shaped exactly like the
     2D env's (reference tests/envs/test_all_envs.py:102-126, Airfoil3D row)."""

@@ -1,0 +1,122 @@
+"""Episode-trace screening and robust statistics pooling.
+
+Round-2 advisor finding: bundled Airfoil2D-medium episodes contained
+non-converged and outlier steps that skewed the pooled domain statistics
+(the reward zero-point).  These tests pin the screening added in response:
+``FluidEnv.episode_sanity_violations`` (with the airfoil physics bounds)
+and ``FluidEnv._pool_statistics_rows``.
+"""
+
+import numpy as np
+import pytest
+
+import fluidgym_tpu
+from fluidgym_tpu.envs.fluid_env import FluidEnv
+
+
+def _rows(n=100, drag=0.33, lift=0.9, converged=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        {
+            "drag": drag + 0.01 * rng.standard_normal(),
+            "lift": lift + 0.05 * rng.standard_normal(),
+            "reward": -0.1 + 0.02 * rng.standard_normal(),
+            "pressure_converged": converged,
+        }
+        for _ in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def rbc():
+    return fluidgym_tpu.make(
+        "RBC2D-easy-v0", n_heaters=4, resolution=4,
+        load_initial_domain=False, load_domain_statistics=False,
+        randomize_initial_state=False)
+
+
+@pytest.fixture(scope="module")
+def airfoil():
+    # construction only -- no reset/step; the screen is pure numpy
+    return fluidgym_tpu.make(
+        "Airfoil2D-easy-v0", load_initial_domain=False,
+        load_domain_statistics=False, randomize_initial_state=False)
+
+
+def test_clean_trace_passes(rbc):
+    assert rbc.episode_sanity_violations(_rows()) == []
+
+
+def test_empty_trace_flagged(rbc):
+    assert rbc.episode_sanity_violations([]) == ["episode trace is empty"]
+
+
+def test_nonconverged_steps_flagged(rbc):
+    rows = _rows()
+    for r in rows[:20]:  # 20% failures, over the 5% budget
+        r["pressure_converged"] = 0.0
+    out = rbc.episode_sanity_violations(rows)
+    assert any("pressure solver failed" in v for v in out)
+
+
+def test_outlier_steps_flagged(rbc):
+    rows = _rows()
+    for r in rows[:15]:  # 15% wild rows, over the 10% budget
+        r["lift"] = 60.0
+        r["drag"] = -10.0
+    out = rbc.episode_sanity_violations(rows)
+    assert any("outlier" in v for v in out)
+
+
+def test_airfoil_thrust_flagged(airfoil):
+    """Sustained negative drag on a stationary airfoil = not developed
+    (the exact contamination found in the round-2 Re3000 test snapshots)."""
+    rows = _rows()
+    for r in rows[:48]:
+        r["drag"] = -10.1
+    out = airfoil.episode_sanity_violations(rows)
+    assert any("net thrust" in v for v in out)
+
+
+def test_airfoil_lift_excursions_flagged(airfoil):
+    rows = _rows()
+    for r in rows[:30]:
+        r["lift"] = 64.8
+    out = airfoil.episode_sanity_violations(rows)
+    assert any("lift" in v for v in out)
+
+
+def test_airfoil_clean_trace_passes(airfoil):
+    assert airfoil.episode_sanity_violations(_rows()) == []
+
+
+def test_pooling_drops_nonconverged_and_outliers(rbc):
+    rows = _rows(n=200)
+    for r in rows[:10]:
+        r["pressure_converged"] = 0.0
+        r["drag"] = 50.0      # failed solves carry junk forces
+    for r in rows[10:16]:
+        r["lift"] = -46.8     # converged but wildly transient
+    pooled = rbc._pool_statistics_rows(rows)
+    assert len(pooled["drag"]) == 200 - 16
+    # the pooled mean reflects the stationary flow, not the junk
+    assert abs(float(pooled["drag"].mean()) - 0.33) < 0.02
+    assert abs(float(pooled["lift"].mean()) - 0.9) < 0.05
+
+
+def test_pooling_keeps_clean_rows_intact(rbc):
+    rows = _rows(n=150)
+    pooled = rbc._pool_statistics_rows(rows)
+    assert len(pooled["reward"]) == 150
+
+
+def test_pooling_survives_all_bad(rbc):
+    """Pathological all-failed pool must not produce empty statistics."""
+    rows = _rows(n=50, converged=0.0)
+    pooled = rbc._pool_statistics_rows(rows)
+    assert len(pooled["drag"]) == 50
+
+
+def test_short_traces_skip_outlier_screen():
+    conv, inlier = FluidEnv._episode_row_masks(_rows(n=5))
+    assert inlier.all()

@@ -115,6 +115,7 @@ def test_mg_pcg_beats_jacobi_pcg(shape, ndims, fixed):
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow  # ~2.5 min: full PISO substep A/B at physics tolerance
 def test_piso_substep_with_multigrid_matches_default():
     """A cylinder-style multi-block env step with pressure_multigrid=True
     produces the same physics as the Jacobi default."""
