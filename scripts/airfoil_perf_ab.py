@@ -53,8 +53,7 @@ def measure(env_id: str, steps: int, *, refine=0, inner=3e-2,
     fn = jax.jit(jax.vmap(env._pure_step))
     bcarry = jax.tree.map(
         lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape), carry)
-    n_act = int(np.prod(env.action_space.shape)) or 1
-    a0 = jnp.zeros((BATCH, n_act), jnp.float32)
+    a0 = jnp.zeros((BATCH,) + tuple(env.action_space.shape), jnp.float32)
 
     c, _, _, info = fn(bcarry, a0)   # warm-up + compile
     jax.block_until_ready(jax.tree.leaves(c)[0])
