@@ -55,6 +55,9 @@ def main() -> int:
                     help="wall-clock budget; stops early when exceeded")
     ap.add_argument("--eval-steps", type=int, default=60,
                     help="final controlled-vs-uncontrolled eval horizon")
+    ap.add_argument("--marl", action="store_true",
+                    help="multi-agent mode: parameter-shared policy over "
+                         "agents-as-envs (MA-PPO)")
     ap.add_argument("--dev", action="store_true",
                     help="tiny CPU smoke-test configuration")
     args = ap.parse_args()
@@ -64,13 +67,18 @@ def main() -> int:
         kw = dict(n_heaters=4, resolution=4, load_initial_domain=False,
                   load_domain_statistics=False, randomize_initial_state=False,
                   step_length=0.1, dt=0.05, episode_length=8)
+    if args.marl:
+        kw["use_marl"] = True
     benv = BatchedFluidEnv(args.env_id, n_envs=args.n_envs, **kw)
-    n_envs = args.n_envs
+    # MARL trains one parameter-shared policy over agents-as-envs (the
+    # reference's MA-PPO setting): every vec slot is one agent's local view
+    n_envs = args.n_envs * (benv.n_agents if benv.use_marl else 1)
     obs, _ = benv.reset(seed=0)
     x = flat_obs(obs, n_envs)
     obs_dim = int(x.shape[1])
     act_dim = int(np.prod(benv.action_space.shape))
-    print(f"obs_dim={obs_dim} act_dim={act_dim} n_envs={n_envs}", flush=True)
+    print(f"obs_dim={obs_dim} act_dim={act_dim} slots={n_envs} "
+          f"marl={benv.use_marl}", flush=True)
 
     def init_params(key):
         k1, k2, k3 = jax.random.split(key, 3)

@@ -116,6 +116,34 @@ def test_refined_under_jit_and_vmap(system):
                                rtol=0, atol=2e-3)
 
 
+def test_refined_differentiable_path():
+    """Refinement under lax.custom_linear_solve: gradients flow and match
+    the unrefined solve (the implicit-function VJP is guess/solver
+    independent)."""
+    import fluidgym_tpu
+    from dataclasses import replace as dreplace
+
+    kw = dict(n_heaters=4, resolution=4, load_initial_domain=False,
+              load_domain_statistics=False, randomize_initial_state=False,
+              step_length=0.1, dt=0.05, differentiable=True)
+    grads = {}
+    for refine in (0, 2):
+        env = fluidgym_tpu.make("RBC2D-easy-v0", **kw)
+        env.reset(seed=0)
+        env._cfg = dreplace(env._cfg, pressure_refine_restarts=refine,
+                            pressure_refine_inner_tol=1e-2)
+        carry = jax.tree.map(jax.lax.stop_gradient, env._pure_carry())
+
+        def loss(a):
+            _c, _obs, r, _info = env._pure_step(carry, a)
+            return jnp.sum(r)
+
+        g = jax.jit(jax.grad(loss))(jnp.zeros_like(env._zero_action))
+        assert np.isfinite(np.asarray(g)).all()
+        grads[refine] = np.asarray(g)
+    np.testing.assert_allclose(grads[2], grads[0], rtol=2e-2, atol=1e-6)
+
+
 def test_piso_accepts_refine_config():
     """SimConfig plumb-through: a tiny RBC-like step with refinement on
     matches the default solve and reports convergence."""
