@@ -953,15 +953,24 @@ class FluidEnv(ABC, FluidEnvLike):
             for mode in MODE_SEEDS:
                 self.mode = mode
                 for idx in range(n_domains):
-                    try:  # resume: reuse an already-recorded episode
+                    try:  # resume: reuse an already-recorded episode --
+                        # but only if it passes the same sanity screen new
+                        # recordings get, so a contaminated pre-screening
+                        # trace is repaired instead of pooled verbatim
                         rows = [
                             {k: float(v) for k, v in r.items()}
                             for r in data_utils.load_uncontrolled_episode(
                                 self.initial_domain_id, mode.value, idx)
                         ]
                         if len(rows) >= episode_steps:
-                            all_rows.extend(rows)
-                            continue
+                            violations = self.episode_sanity_violations(rows)
+                            if not violations:
+                                all_rows.extend(rows)
+                                continue
+                            self._logger.warning(
+                                "init: recorded episode mode=%s idx=%d fails "
+                                "sanity (%s); re-recording",
+                                mode.value, idx, "; ".join(violations))
                     except FileNotFoundError:
                         pass
                     rows = self._record_uncontrolled_episode(
@@ -987,6 +996,8 @@ class FluidEnv(ABC, FluidEnvLike):
         its burn-in is extended in place by 50% of ``_initial_domain_steps``,
         the snapshot is re-saved, and the episode re-recorded (two repair
         attempts, then the best trace ships with a loud warning)."""
+        best_rows: list[dict] | None = None
+        best_score: tuple[int, float] = (2, float("inf"))
         for attempt in range(3):
             self.load_initial_domain(mode, idx, user_only=True)
             self.seed(MODE_SEEDS[mode] + idx)
@@ -1003,13 +1014,23 @@ class FluidEnv(ABC, FluidEnvLike):
                     k: float(np.asarray(v)) for k, v in info.items()
                     if np.asarray(v).size == 1})
             violations = self.episode_sanity_violations(rows)
+            # track the best attempt (clean beats violating, then fewest
+            # bad rows) so a repair that makes things WORSE never ships
+            converged, inlier = self._episode_row_masks(rows)
+            bad_frac = 1.0 - float((converged & inlier).mean()) if len(rows) \
+                else 1.0
+            score = (1 if violations else 0, bad_frac)
+            if score < best_score:
+                best_rows, best_score = rows, score
             if not violations:
                 break
             if attempt == 2:
                 self._logger.warning(
                     "init: episode mode=%s idx=%d STILL fails sanity after "
-                    "repairs (%s); shipping anyway — inspect this snapshot",
-                    mode.value, idx, "; ".join(violations))
+                    "repairs (%s); shipping the best attempt "
+                    "(%.0f%% bad rows) — inspect this snapshot",
+                    mode.value, idx, "; ".join(violations),
+                    100.0 * best_score[1])
                 break
             extra = max(1, self._initial_domain_steps // 2)
             self._logger.warning(
@@ -1022,6 +1043,7 @@ class FluidEnv(ABC, FluidEnvLike):
                 self.step(self._zero_action)
                 self._n_steps = 0
             self._save_initial_domain(mode, idx)
+        rows = best_rows if best_rows is not None else rows
         data_utils.save_uncontrolled_episode(
             self.initial_domain_id, mode.value, idx, rows)
         return rows

@@ -67,20 +67,38 @@ class _RollingMeter:
 
 
 class _CsvSink:
-    """Appends metric rows to a CSV, rewriting the header only when the
-    column set grows (training rows and eval rows carry different tags)."""
+    """CSV metric log.  Rows append incrementally; the file is rewritten
+    in full only when the column set grows (training rows and eval rows
+    carry different tags).  A pre-existing log — a resumed/second run in
+    the same directory — is backed up to ``*_backup.csv`` and its rows
+    retained, so no prior history is lost."""
 
     def __init__(self, path: Path):
         self.path = Path(path)
         self._columns: list[str] = []
         self._rows: list[dict] = []
+        if self.path.exists():
+            with self.path.open(newline="") as fh:
+                reader = csv.DictReader(fh)
+                self._columns = list(reader.fieldnames or [])
+                self._rows = [dict(r) for r in reader]
+            backup = self.path.with_name(self.path.stem + "_backup.csv")
+            backup.write_bytes(self.path.read_bytes())
 
     def append(self, row: dict) -> None:
-        self._rows.append(dict(row))
+        row = dict(row)
+        self._rows.append(row)
         new_cols = [c for c in row if c not in self._columns]
         if new_cols:
             self._columns.extend(new_cols)
-        self.flush()
+            self.flush()
+            return
+        write_header = not self.path.exists()
+        with self.path.open("a", newline="") as fh:
+            writer = csv.DictWriter(fh, fieldnames=self._columns, restval="")
+            if write_header:
+                writer.writeheader()
+            writer.writerow(row)
 
     def flush(self) -> None:
         with self.path.open("w", newline="") as fh:
@@ -128,7 +146,8 @@ class EvalCallback(_BaseCallback):
         self.eval_env = eval_env
         self.eval_freq = int(eval_freq)
         self.log_freq = int(log_freq) if log_freq else max(eval_freq // 10, 1)
-        self.n_eval_episodes = int(n_eval_episodes)
+        # episode 0 always runs (it produces the sequence plot), so clamp
+        self.n_eval_episodes = max(int(n_eval_episodes), 1)
         self.use_wandb = use_wandb
         self.checkpoint_latest = checkpoint_latest
         self.save_evaluation = save_eval_sequence

@@ -614,24 +614,47 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
         x = lax.custom_linear_solve(mv, b, solve_fn, symmetric=True)
         return x, _posthoc_info(mv, b, x, tol_resolved)
 
-    if not differentiable:
-        if matvec_extra is None and precond_override is None:
-            mplan_b = _fused_bicg_mb_plan(ops, topo)
-            if mplan_b is not None:
-                return _fused_bicg_mb_solve(
-                    mplan_b, ops, b, topo, tol=tol_resolved,
-                    maxiter=maxiter, stall_iters=stall_iters,
-                    precondition=precondition, return_best=return_best,
-                    x0=x0)
-        return linsolve.bicgstab(mv, b, x0=x0, tol=tol, maxiter=maxiter,
-                                 return_best=return_best,
-                                 stall_iters=stall_iters, precond=precond_fn)
-
     mplan_b = None
     if matvec_extra is None and precond_override is None:
         mplan_b = _fused_bicg_mb_plan(ops, topo)
 
-    if mplan_b is not None:
+    def _inner_bicg_for_refine(rhs):
+        """Path-specific BiCGStab inner solver for linsolve.refined (unit-RMS
+        RHS, zero guess, inner tolerance) -- mirrors _inner_for_refine on the
+        symmetric branch so pressure_refine_restarts also applies to
+        pressure_use_bicg / pressure_full_mode solves."""
+        if mplan_b is not None:
+            return _fused_bicg_mb_solve(
+                mplan_b, ops, rhs, topo, tol=refine_inner_tol,
+                maxiter=maxiter, stall_iters=stall_iters,
+                precondition=precondition, return_best=return_best, x0=None)
+        return linsolve.bicgstab(mv, rhs, tol=refine_inner_tol,
+                                 maxiter=maxiter, return_best=return_best,
+                                 stall_iters=stall_iters, precond=precond_fn)
+
+    if not differentiable:
+        if refine_restarts > 0:
+            return linsolve.refined(mv, b, _inner_bicg_for_refine,
+                                    tol=tol_resolved,
+                                    restarts=refine_restarts, x0=x0)
+        if mplan_b is not None:
+            return _fused_bicg_mb_solve(
+                mplan_b, ops, b, topo, tol=tol_resolved,
+                maxiter=maxiter, stall_iters=stall_iters,
+                precondition=precondition, return_best=return_best,
+                x0=x0)
+        return linsolve.bicgstab(mv, b, x0=x0, tol=tol, maxiter=maxiter,
+                                 return_best=return_best,
+                                 stall_iters=stall_iters, precond=precond_fn)
+
+    if refine_restarts > 0:
+        # black-box refined forward solve; custom_linear_solve's
+        # implicit-function VJP is unchanged (transposed solve below)
+        def solve_fn(mv_fn, bb):
+            return linsolve.refined(mv, bb, _inner_bicg_for_refine,
+                                    tol=tol_resolved,
+                                    restarts=refine_restarts, x0=None)[0]
+    elif mplan_b is not None:
         # the kernel is a black-box FORWARD solver under custom_linear_solve
         # (the implicit-function VJP is unaffected); the transposed solve
         # keeps the XLA loop -- its operator is A^T, not the stencil
@@ -1370,6 +1393,8 @@ def make_divergence_free(
                 differentiable=cfg.differentiable,
                 precondition=cfg.pressure_precondition,
                 coarse_strips=cfg.pressure_coarse_strips,
+                refine_restarts=cfg.pressure_refine_restarts,
+                refine_inner_tol=cfg.pressure_refine_inner_tol,
             )
             if cfg.normalize_pressure_result:
                 mean = _global_mean(pressures)

@@ -45,4 +45,7 @@ STEP_TIMEOUT=3600 step python -u scripts/train_sac_tpu.py \
 # persist the result line (the trainer prints one JSON object last)
 grep -h '"algo": "SAC"' "$LOG" | tail -1 > bench_assets/control/sac_rbc2d_easy.json || true
 
+# 3. refresh the bench so the per-family rows see the new datasets
+STEP_TIMEOUT=3600 step python -u bench.py
+
 echo "=== R3C CHAIN DONE $(date) ===" >> "$LOG"

@@ -154,6 +154,16 @@ def main():
           f"reported={float(infoB.residual):.3e} true_rmse={rB:.3e} "
           f"converged={bool(infoB.converged)} ({time.time()-t0:.1f}s)")
 
+    # C: the same refinement WITHOUT double-float accumulation (prototype
+    # above) -- isolates the compensated pair's contribution to the floor
+    t0 = time.time()
+    xC, _lo, itC = refined_cg(mv, b, tol=tol, inner_tol=args.inner_tol,
+                              restarts=args.restarts, maxiter=args.maxiter,
+                              precond=precond, double_float=False)
+    rC = float(_true_rmse(mv, b, xC))
+    print(f"C refined fp32-acc: iters={itC:5d} true_rmse={rC:.3e} "
+          f"({time.time()-t0:.1f}s)")
+
 
 if __name__ == "__main__":
     main()

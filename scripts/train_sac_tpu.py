@@ -53,7 +53,14 @@ def flat_obs(obs, n_envs):
 
 
 class ReplayBuffer:
-    """Host-side ring buffer of (obs, act, rew, next_obs)."""
+    """Host-side ring buffer of (obs, act, rew, next_obs, nonterminal).
+
+    ``nobs`` is always the TRUE successor observation of ``obs`` (the
+    auto-reset boundary splice happens at collection time from
+    ``info["final_observation"]``), and ``mask`` is 0 only for genuinely
+    terminated (diverged) lanes, so truncated episodes still bootstrap from
+    their real final state (partial-episode bootstrapping for a continuing
+    control task)."""
 
     def __init__(self, capacity, obs_dim, act_dim):
         self.capacity = capacity
@@ -61,16 +68,18 @@ class ReplayBuffer:
         self.act = np.zeros((capacity, act_dim), np.float32)
         self.rew = np.zeros((capacity,), np.float32)
         self.nobs = np.zeros((capacity, obs_dim), np.float32)
+        self.mask = np.ones((capacity,), np.float32)
         self.ptr = 0
         self.size = 0
 
-    def add_batch(self, obs, act, rew, nobs):
+    def add_batch(self, obs, act, rew, nobs, mask):
         n = obs.shape[0]
         idx = (self.ptr + np.arange(n)) % self.capacity
         self.obs[idx] = obs
         self.act[idx] = act
         self.rew[idx] = rew
         self.nobs[idx] = nobs
+        self.mask[idx] = mask
         self.ptr = int((self.ptr + n) % self.capacity)
         self.size = int(min(self.size + n, self.capacity))
 
@@ -81,6 +90,7 @@ class ReplayBuffer:
             "act": jnp.asarray(self.act[idx]),
             "rew": jnp.asarray(self.rew[idx]),
             "nobs": jnp.asarray(self.nobs[idx]),
+            "mask": jnp.asarray(self.mask[idx]),
         }
 
 
@@ -180,9 +190,12 @@ def main() -> int:
             alpha = jnp.exp(p["log_alpha"])
             q_next = jnp.minimum(q_value(targets["q1"], batch["nobs"], a_next),
                                  q_value(targets["q2"], batch["nobs"], a_next))
-            # continuing control task: no terminal bootstrapping mask needed
+            # nobs is the true successor (auto-reset boundaries spliced out
+            # at collection); mask zeroes bootstrapping only for diverged
+            # (terminated) lanes
             y = jax.lax.stop_gradient(
-                batch["rew"] + GAMMA * (q_next - alpha * logp_next))
+                batch["rew"]
+                + GAMMA * batch["mask"] * (q_next - alpha * logp_next))
             q1 = q_value(p["q1"], batch["obs"], batch["act"])
             q2 = q_value(p["q2"], batch["obs"], batch["act"])
             critic_loss = jnp.mean((q1 - y) ** 2) + jnp.mean((q2 - y) ** 2)
@@ -237,9 +250,22 @@ def main() -> int:
                 a = explore(params["actor"], x, sub)
             obs, rew, term, trunc, info = benv.step(env_action(a))
             nx = flat_obs(obs, n_envs)
+            # auto-reset splices fresh episodes into done rows of `obs`;
+            # the stored transition must use the OLD episode's true final
+            # obs (info["final_observation"]) so TD targets never bootstrap
+            # across episode boundaries
+            na = benv.n_agents if benv.use_marl else 1
+            done = (np.asarray(term) | np.asarray(trunc)).astype(bool)
+            store_nx = np.asarray(nx).copy()
+            if done.any() and "final_observation" in info:
+                fin = flat_obs(info["final_observation"],
+                               int(done.sum()) * na)
+                store_nx[np.repeat(done, na)] = np.asarray(fin)
+            # bootstrap through truncation (continuing task), not divergence
+            mask = np.repeat(~np.asarray(term), na).astype(np.float32)
             buf.add_batch(np.asarray(x), np.asarray(a),
                           np.asarray(rew, np.float32).reshape(-1),
-                          np.asarray(nx))
+                          store_nx, mask)
             it_rews.append(np.asarray(rew))
             x = nx
             env_steps += n_envs

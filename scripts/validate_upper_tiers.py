@@ -44,7 +44,6 @@ DNS_ANCHORS = {
 
 def tcf_tier(env_id: str, burnin: int, n_stat: int) -> dict:
     from fluidgym_tpu.envs.tcf.statistics import TCFAnalysis
-    from fluidgym_tpu.solver import sgs
 
     env = fluidgym_tpu.make(env_id, use_marl=False, episode_length=10**9,
                             load_domain_statistics=False)
@@ -64,15 +63,15 @@ def tcf_tier(env_id: str, burnin: int, n_stat: int) -> dict:
     geoms = env._geoms
     yc = np.asarray(jax.device_get(geoms[0].centers[1])).mean(axis=(0, 2))
     nu = float(np.asarray(state.viscosity))
+    # budgets are off in TCFAnalysis, so velocity gradients would be
+    # discarded by record() -- skip computing them entirely
     vs = TCFAnalysis(yc, nu, lengths=(env._D, env._L))
-    grad_fn = jax.jit(
-        lambda st: sgs.velocity_gradients(st, env._geoms, env._topo)[0])
     for i in range(n_stat):
         carry, *_ = fn(carry, action)
         if i % 4 == 0:
             st = carry[0] if isinstance(carry, tuple) else carry
             vs.record(st.blocks[0].velocity, st.blocks[0].pressure,
-                      grad_fn(st), time=float(i) * env._step_length)
+                      time=float(i) * env._step_length)
     jax.block_until_ready(jax.tree.leaves(carry)[0])
 
     prof = vs.stats.profiles()

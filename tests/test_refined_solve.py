@@ -144,6 +144,29 @@ def test_refined_differentiable_path():
     np.testing.assert_allclose(grads[2], grads[0], rtol=2e-2, atol=1e-6)
 
 
+def test_refine_applies_to_bicg_pressure_path():
+    """pressure_refine_restarts must not be a silent no-op when the
+    pressure solve routes through BiCGStab (pressure_use_bicg /
+    pressure_full_mode)."""
+    import fluidgym_tpu
+    from dataclasses import replace as dreplace
+
+    kw = dict(n_heaters=4, resolution=4, load_initial_domain=False,
+              load_domain_statistics=False, randomize_initial_state=False,
+              step_length=0.1, dt=0.05)
+    env = fluidgym_tpu.make("RBC2D-easy-v0", **kw)
+    env.reset(seed=0)
+    env._cfg = dreplace(env._cfg, pressure_use_bicg=True,
+                        pressure_refine_restarts=2,
+                        pressure_refine_inner_tol=1e-2)
+    info = None
+    for _ in range(2):
+        *_, info = env.step(env._zero_action)
+    assert bool(np.asarray(info["pressure_converged"]).all())
+    assert (float(np.asarray(info["pressure_residual"]).max())
+            <= env._cfg.pressure_tol)
+
+
 def test_piso_accepts_refine_config():
     """SimConfig plumb-through: a tiny RBC-like step with refinement on
     matches the default solve and reports convergence."""
