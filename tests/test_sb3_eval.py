@@ -61,6 +61,31 @@ def test_rolling_meter_and_csv_sink(tmp_path):
     assert rows[1]["evaluation/mean_reward"] == "0.7"
 
 
+def test_csv_sink_preserves_prior_run(tmp_path):
+    """A resumed run in the same directory must keep the previous log's
+    rows and leave a backup, never truncate (round-3 review finding)."""
+    import csv
+
+    from fluidgym_tpu.integration.sb3.eval_callback import _CsvSink
+
+    path = tmp_path / "training_log.csv"
+    first = _CsvSink(path)
+    first.append({"step": 1, "training/mean_reward": 0.1})
+    first.append({"step": 2, "training/mean_reward": 0.2})
+
+    second = _CsvSink(path)  # simulates a new training run
+    second.append({"step": 1, "training/mean_reward": 0.9})
+
+    with path.open() as fh:
+        rows = list(csv.DictReader(fh))
+    assert [r["step"] for r in rows] == ["1", "2", "1"]
+    assert rows[0]["training/mean_reward"] == "0.1"  # old rows retained
+    backup = tmp_path / "training_log_backup.csv"
+    assert backup.exists()
+    with backup.open() as fh:
+        assert len(list(csv.DictReader(fh))) == 2
+
+
 def test_eval_callback_step_cadence(tmp_path, monkeypatch):
     """Drive _on_step through log + eval boundaries without sb3."""
     import fluidgym_tpu.integration.sb3.eval_callback as ec
