@@ -251,23 +251,70 @@ def main() -> None:
     }))
 
 
+_CHAIN_PID_FILES = ("/tmp/r3d.pid", "/tmp/tpu_step.pid")
+
+
+def _yield_tpu_from_chain() -> bool:
+    """If this repo's own dataset/validation chain (scripts/run_r3d_chain.sh)
+    still holds the single-tenant TPU when the driver runs the bench,
+    terminate it via its advertised pid files — by pid only, never by
+    name/pattern.  Everything the chain runs is resumable + skip-existing,
+    so the only cost is one truncated item.  Returns True if anything was
+    signalled (the stale grant then needs ~60-90 s to clear)."""
+    import signal
+
+    signalled = False
+    for pf in _CHAIN_PID_FILES:
+        path = Path(pf)
+        if not path.exists():
+            continue
+        try:
+            root = int(path.read_text().strip())
+        except ValueError:
+            continue
+        victims, frontier = [], [root]
+        while frontier:  # collect the whole tree before signalling
+            p = frontier.pop()
+            victims.append(p)
+            out = subprocess.run(["ps", "-o", "pid=", "--ppid", str(p)],
+                                 capture_output=True, text=True)
+            frontier.extend(int(x) for x in out.stdout.split())
+        for p in victims:  # parents first: no follow-up item is spawned
+            try:
+                os.kill(p, signal.SIGTERM)
+                signalled = True
+            except (ProcessLookupError, PermissionError):
+                pass
+    return signalled
+
+
 def _probe_device() -> None:
     """Fail fast (exit 2, one JSON error line) when the TPU tunnel is dead:
     an unreachable device makes the first jax call hang FOREVER, which would
     wedge the whole driver run.  The probe runs in a subprocess so the
-    timeout actually fires."""
+    timeout actually fires.  A failed first probe reclaims the chip from the
+    (resumable) background chain and retries once before giving up."""
     code = ("import jax, jax.numpy as jnp;"
             "print(float(jax.jit(lambda a: a.sum())(jnp.ones((8, 8)))))")
-    try:
-        subprocess.run([sys.executable, "-c", code], timeout=600,
-                       check=True, capture_output=True)
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
-        print(json.dumps({
-            "metric": "cylinder2d_256sq_env_steps_per_sec_batch64",
-            "value": None, "unit": "env_steps/s", "vs_baseline": None,
-            "error": f"device probe failed: {type(e).__name__}",
-        }))
-        sys.exit(2)
+    err = "unknown"
+    for attempt in range(2):
+        try:
+            subprocess.run([sys.executable, "-c", code], timeout=600,
+                           check=True, capture_output=True)
+            return
+        except (subprocess.TimeoutExpired,
+                subprocess.CalledProcessError) as e:
+            err = type(e).__name__
+            if attempt == 0 and _yield_tpu_from_chain():
+                time.sleep(120)  # let the killed holder's grant clear
+                continue
+            break
+    print(json.dumps({
+        "metric": "cylinder2d_256sq_env_steps_per_sec_batch64",
+        "value": None, "unit": "env_steps/s", "vs_baseline": None,
+        "error": f"device probe failed: {err}",
+    }))
+    sys.exit(2)
 
 
 if __name__ == "__main__":

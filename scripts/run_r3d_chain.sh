@@ -29,8 +29,12 @@ sleep 60
 
 step() {
   echo "=== $(date +%H:%M:%S) $* ===" >> "$LOG"
-  timeout "${STEP_TIMEOUT:-5400}" "$@" >> "$LOG" 2>&1 \
-    || echo "!!! FAILED: $*" >> "$LOG"
+  # advertise the TPU-holding child so bench.py can reclaim the chip at
+  # round end (everything here is resumable, so a kill only truncates)
+  timeout "${STEP_TIMEOUT:-5400}" "$@" >> "$LOG" 2>&1 &
+  echo $! > /tmp/tpu_step.pid
+  wait $! || echo "!!! FAILED: $*" >> "$LOG"
+  rm -f /tmp/tpu_step.pid
 }
 
 # 1. finish TCFSmall Re330 (resumable; one dataset covers bottom+both ids),
