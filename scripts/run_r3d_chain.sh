@@ -32,8 +32,31 @@ step() {
   # advertise the TPU-holding child so bench.py can reclaim the chip at
   # round end (everything here is resumable, so a kill only truncates)
   timeout "${STEP_TIMEOUT:-5400}" "$@" >> "$LOG" 2>&1 &
-  echo $! > /tmp/tpu_step.pid
-  wait $! || echo "!!! FAILED: $*" >> "$LOG"
+  local pid=$!
+  echo $pid > /tmp/tpu_step.pid
+  # stall watchdog: every step logs at least every few minutes; a silent
+  # axon-tunnel wedge (seen once this round: 25 min of zero progress, 0%
+  # CPU, blocked on the tunnel socket) would otherwise burn the whole step
+  # timeout.  15 min of log silence -> kill the step and move on.
+  (
+    local last=-1 quiet=0 size
+    while kill -0 "$pid" 2>/dev/null; do
+      sleep 60
+      size=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
+      if [ "$size" = "$last" ]; then quiet=$((quiet + 60)); else quiet=0; fi
+      last=$size
+      if [ "$quiet" -ge 900 ]; then
+        echo "!!! STALL WATCHDOG: no log output for ${quiet}s, killing step" >> "$LOG"
+        kill "$pid" 2>/dev/null
+        sleep 10
+        kill -9 "$pid" 2>/dev/null
+        break
+      fi
+    done
+  ) &
+  local mon=$!
+  wait "$pid" || echo "!!! FAILED: $*" >> "$LOG"
+  kill "$mon" 2>/dev/null
   rm -f /tmp/tpu_step.pid
 }
 
