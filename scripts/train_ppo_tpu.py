@@ -105,6 +105,10 @@ def main() -> int:
         a = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
         return a, logp_gaussian(mean, log_std, a), v
 
+    @jax.jit
+    def value_of(p, x):
+        return forward(p, x)[2]
+
     opt = optax.adam(LR)
 
     @jax.jit
@@ -135,6 +139,8 @@ def main() -> int:
             print(f"wall budget reached at iter {it}", flush=True)
             break
         buf = {k: [] for k in ("obs", "act", "logp", "rew", "val")}
+        dones_l, terms_l, vfins_l = [], [], []
+        na = benv.n_agents if benv.use_marl else 1
         for _ in range(ROLLOUT_STEPS):
             key, sub = jax.random.split(key)
             a, logp, v = act(params, x, sub)
@@ -143,6 +149,20 @@ def main() -> int:
             obs, rew, term, trunc, info = benv.step(a_env)
             for k, val in zip(buf, (x, a, logp, jnp.asarray(rew), v)):
                 buf[k].append(val)
+            # auto-reset boundary accounting: GAE must not leak across
+            # episodes -- truncated slots bootstrap from the TRUE final
+            # obs (info["final_observation"]), diverged (terminated) slots
+            # do not bootstrap, and the advantage carry resets at any done
+            done = np.asarray(term) | np.asarray(trunc)
+            dones_l.append(np.repeat(done, na))
+            terms_l.append(np.repeat(np.asarray(term), na))
+            vfin = np.zeros(n_envs, np.float32)
+            if done.any() and "final_observation" in info:
+                fin = flat_obs(info["final_observation"],
+                               int(done.sum()) * na)
+                vfin[np.repeat(done, na)] = np.asarray(
+                    value_of(params, fin))
+            vfins_l.append(vfin)
             x = flat_obs(obs, n_envs)
         env_steps += ROLLOUT_STEPS * n_envs
         _, _, last_v = act(params, x, key)
@@ -152,9 +172,13 @@ def main() -> int:
         adv = np.zeros(rews.shape, np.float32)
         gae = np.zeros(n_envs, np.float32)
         rews_h, vals_h = np.asarray(rews), np.asarray(vals)
+        dones_h, terms_h = np.stack(dones_l), np.stack(terms_l)
+        vfins_h = np.stack(vfins_l)
         for t in reversed(range(rews.shape[0])):
-            delta = rews_h[t] + GAMMA * vals_h[t + 1] - vals_h[t]
-            gae = delta + GAMMA * LAM * gae
+            vnext = np.where(dones_h[t], vfins_h[t], vals_h[t + 1])
+            vnext = np.where(terms_h[t], 0.0, vnext)
+            delta = rews_h[t] + GAMMA * vnext - vals_h[t]
+            gae = delta + GAMMA * LAM * np.where(dones_h[t], 0.0, gae)
             adv[t] = gae
         ret = adv + vals_h[:-1]
         advn = (adv - adv.mean()) / (adv.std() + 1e-8)
