@@ -122,4 +122,13 @@ step $GEN RBC3D-hard-v0   --lanes 3 --n-domains 5 --episode-steps 100 --bundle
 step $GEN CylinderJet3D-easy-v0 --lanes 2 --n-domains 5 \
     --transient-steps 999999 --transient-split 4 --bundle
 
+# 10. one retry pass over anything that FAILED above (the generator is
+#     resumable + skip-existing and bundles only at item end, so a step
+#     that timed out mid-episode completes cheaply here); lanes clamp to 2
+grep '^!!! FAILED:' "$LOG" 2>/dev/null | sed 's/^!!! FAILED: //' | sort -u | \
+while read -r line; do
+  retry=$(echo "$line" | sed -E 's/--lanes [0-9]+/--lanes 2/')
+  STEP_TIMEOUT=9000 step $retry
+done
+
 echo "=== R3D CHAIN DONE $(date) ===" >> "$LOG"
