@@ -122,6 +122,16 @@ def test_batched_auto_reset():
     assert "final_observation" in info
     fin = info["final_observation"]
     assert np.asarray(fin).shape == np.asarray(obs).shape
+    # final_observation must be the OLD episodes' true last obs (what the
+    # un-reset trajectory would have produced), not the new episodes'
+    # first obs -- SAC/PPO boundary bootstrapping depends on this
+    ref = BatchedFluidEnv("RBC2D-easy-v0", n_envs=3, auto_reset=False, **kw)
+    ref.reset(seed=0)
+    robs, *_ = ref.step(actions)
+    robs, *_ = ref.step(actions)
+    for k in robs:
+        np.testing.assert_allclose(np.asarray(fin[k]), np.asarray(robs[k]),
+                                   rtol=0, atol=0)
     # counts were reset: the next step must not truncate
     obs, rew, term, trunc, info = benv.step(actions)
     assert not trunc.any()
