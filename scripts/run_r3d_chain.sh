@@ -82,6 +82,18 @@ STEP_TIMEOUT=3600 step python -u scripts/train_sac_tpu.py \
 grep -h '"algo": "SAC"' "$LOG" | tail -1 \
     > bench_assets/control/sac_rbc2d_easy.json || true
 
+# 4b. MA-PPO / MA-SAC recorded results (parameter-shared policies over
+#     agents-as-envs) -- completes the reference's RL-baseline roster
+#     (PPO, SAC, MA-PPO, MA-SAC, DPC) with recorded runs
+STEP_TIMEOUT=2700 step python -u scripts/train_ppo_tpu.py \
+    --env-id RBC2D-easy-v0 --marl --n-envs 8 --iters 40 --minutes 18
+grep -h '"algo": "MA-PPO"' "$LOG" | tail -1 \
+    > bench_assets/control/mappo_rbc2d_easy.json || true
+STEP_TIMEOUT=2700 step python -u scripts/train_sac_tpu.py \
+    --env-id RBC2D-easy-v0 --marl --n-envs 8 --iters 50 --minutes 18
+grep -h '"algo": "MA-SAC"' "$LOG" | tail -1 \
+    > bench_assets/control/masac_rbc2d_easy.json || true
+
 # 5. TCFSmall Re550 + validation
 step $GEN TCFSmall3D-bottom-hard-v0 --lanes 2 --n-domains 2 \
     --episode-steps 60 --bundle

@@ -242,6 +242,7 @@ def main() -> int:
 
     k = max(3, len(rew_trace) // 5)
     result = {
+        "algo": "MA-PPO" if benv.use_marl else "PPO",
         "env_id": args.env_id,
         "n_envs": n_envs,
         "iterations": len(rew_trace),
