@@ -117,6 +117,47 @@ def test_pooling_survives_all_bad(rbc):
     assert len(pooled["drag"]) == 50
 
 
+def test_record_episode_ships_best_attempt(rbc, monkeypatch, tmp_path):
+    """When every repair attempt still violates the sanity screen, the
+    attempt with the FEWEST bad rows ships — never simply the last one
+    (round-3 review finding)."""
+    import fluidgym_tpu.envs.fluid_env as fe
+    from fluidgym_tpu.types import EnvMode
+
+    n = 20
+
+    def ep(bad_count, seed):
+        rows = _rows(n, seed=seed)
+        for r in rows[:bad_count]:
+            r["pressure_converged"] = 0.0
+        return rows
+
+    # attempt 0: 30% non-converged; attempt 1: 8% (best); attempt 2: 40%
+    script = ep(6, 1) + [_rows(1)[0]] + ep(2, 2) + [_rows(1)[0]] + ep(8, 3)
+    feed = iter(script)
+
+    monkeypatch.setattr(rbc, "load_initial_domain",
+                        lambda *a, **k: None, raising=False)
+    monkeypatch.setattr(rbc, "seed", lambda *a, **k: None)
+    monkeypatch.setattr(rbc, "_save_initial_domain", lambda *a, **k: None)
+    monkeypatch.setattr(rbc, "_initial_domain_steps", 2, raising=False)
+    monkeypatch.setattr(
+        rbc, "step", lambda a: (None, None, None, None, next(feed)))
+
+    saved = {}
+    monkeypatch.setattr(
+        fe.data_utils, "save_uncontrolled_episode",
+        lambda domain_id, mode, idx, rows: saved.update(rows=rows))
+
+    out = rbc._record_uncontrolled_episode(
+        EnvMode.TRAIN, 0, episode_steps=n, verbose=False)
+
+    bad = sum(1 for r in saved["rows"]
+              if float(r["pressure_converged"]) < 0.5)
+    assert bad == 2, "the 8%-bad attempt (fewest bad rows) must ship"
+    assert out is saved["rows"]
+
+
 def test_short_traces_skip_outlier_screen():
     conv, inlier = FluidEnv._episode_row_masks(_rows(n=5))
     assert inlier.all()
