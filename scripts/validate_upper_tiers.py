@@ -44,35 +44,58 @@ DNS_ANCHORS = {
 
 def tcf_tier(env_id: str, burnin: int, n_stat: int) -> dict:
     from fluidgym_tpu.envs.tcf.statistics import TCFAnalysis
+    from fluidgym_tpu.types import EnvMode
 
-    env = fluidgym_tpu.make(env_id, use_marl=False, episode_length=10**9,
-                            load_domain_statistics=False)
+    # Construct the env and the jitted program EXACTLY as the dataset
+    # generator does (scripts/generate_datasets.py: same make() kwargs,
+    # jax.jit(jax.vmap(env._pure_step)) over 2 lanes) so the step hits the
+    # persistent compile cache -- the unbatched _pure_step is a different
+    # HLO whose fresh compile stalled >30 min on the axon path (session
+    # notes, 2026-08-19).  Lanes start from the bundled TRAIN snapshots,
+    # i.e. the states users train from.
+    env = fluidgym_tpu.make(env_id, load_initial_domain=False,
+                            load_domain_statistics=False, use_marl=False)
+    env._load_domain_on_reset = False
+    env._enable_actions = False
     env.reset(seed=0)
-    fn = jax.jit(env._pure_step)
-    carry = env._pure_carry()
-    action = jnp.zeros_like(env._zero_action)
+    carries = []
+    for idx in (0, 1):
+        try:
+            env.load_initial_domain(EnvMode.TRAIN, idx)
+        except FileNotFoundError:
+            print(f"  (no bundled TRAIN_{idx:02d} snapshot; lane starts "
+                  f"from the built-in initial state)", flush=True)
+        carries.append(env._pure_carry())
+    nlanes = len(carries)
+    bcarry = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *carries)
+    bact = jnp.broadcast_to(env._zero_action,
+                            (nlanes,) + env._zero_action.shape)
+    fn = jax.jit(jax.vmap(env._pure_step))
     t0 = time.time()
     for i in range(burnin):
-        carry, *_ = fn(carry, action)
+        bcarry, *_ = fn(bcarry, bact)
         if (i + 1) % 100 == 0:
-            jax.block_until_ready(jax.tree.leaves(carry)[0])
+            jax.block_until_ready(jax.tree.leaves(bcarry)[0])
             print(f"  burn-in {i + 1}/{burnin} "
                   f"({(i + 1) / (time.time() - t0):.2f} steps/s)", flush=True)
 
-    state = carry[0] if isinstance(carry, tuple) else carry
+    state = bcarry[0] if isinstance(bcarry, tuple) else bcarry
     geoms = env._geoms
     yc = np.asarray(jax.device_get(geoms[0].centers[1])).mean(axis=(0, 2))
-    nu = float(np.asarray(state.viscosity))
+    nu = float(np.asarray(state.viscosity).ravel()[0])
     # budgets are off in TCFAnalysis, so velocity gradients would be
     # discarded by record() -- skip computing them entirely
     vs = TCFAnalysis(yc, nu, lengths=(env._D, env._L))
     for i in range(n_stat):
-        carry, *_ = fn(carry, action)
+        bcarry, *_ = fn(bcarry, bact)
         if i % 4 == 0:
-            st = carry[0] if isinstance(carry, tuple) else carry
-            vs.record(st.blocks[0].velocity, st.blocks[0].pressure,
-                      time=float(i) * env._step_length)
-    jax.block_until_ready(jax.tree.leaves(carry)[0])
+            st = bcarry[0] if isinstance(bcarry, tuple) else bcarry
+            vel = jax.device_get(st.blocks[0].velocity)
+            pres = jax.device_get(st.blocks[0].pressure)
+            for lane in range(nlanes):
+                vs.record(vel[lane], pres[lane],
+                          time=float(i) * env._step_length)
+    jax.block_until_ready(jax.tree.leaves(bcarry)[0])
 
     prof = vs.stats.profiles()
     nominal = int(env._re_wall) if hasattr(env, "_re_wall") else 0
