@@ -28,10 +28,15 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+
+import _heartbeat  # noqa: E402  (repo scripts/ dir, added to sys.path above)
 
 
 def log(msg: str) -> None:
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+    _heartbeat.touch()
 
 
 def build_jobs(env, n_domains: int, burnin_scale: float):
@@ -107,6 +112,7 @@ def run_stage1(env, jobs, lanes: int, transient_env=None,
         horizon = max(ev[-1][0] for ev in events)
         log(f"  chunk {c0 // lanes}: {len(chunk)} lanes, horizon {horizon}")
         t_wall = time.perf_counter()
+        t_last_log = t_wall
         for t in range(1, horizon + 1):
             if transient_fn is not None and t <= transient_steps:
                 for _ in range(transient_split):
@@ -130,10 +136,40 @@ def run_stage1(env, jobs, lanes: int, transient_env=None,
                     env._set_pure_carry(lane_carry)
                     env._save_initial_domain(mode, idx)
                     log(f"    saved {mode.value}_{idx:02d} at t={t}")
-            if t % 200 == 0:
+            if t % 200 == 0 or time.perf_counter() - t_last_log > 240:
                 jax.block_until_ready(jax.tree.leaves(bcarry)[0])
                 rate = t / (time.perf_counter() - t_wall)
                 log(f"    t={t}/{horizon} ({rate:.2f} lockstep steps/s)")
+                t_last_log = time.perf_counter()
+
+
+def _roll_episode(step_fn, bcarry, bact, episode_steps: int, n_lanes: int,
+                  label: str):
+    """Advance the vmapped program ``episode_steps`` steps collecting the
+    per-lane scalar info rows; returns (rows_per_lane, final carry).
+    Progress is logged on BOTH a step cadence and a wall-clock cadence so a
+    slow family (airfoil: ~0.1 steps/s) never trips the chain's external
+    log-silence watchdog between chunk lines."""
+    import jax
+    import numpy as np
+
+    rows_per_lane: list[list[dict]] = [[] for _ in range(n_lanes)]
+    t_wall = time.perf_counter()
+    t_last_log = t_wall
+    for t in range(episode_steps):
+        bcarry, _, _, info = step_fn(bcarry, bact)
+        host_info = jax.device_get(
+            {k: v for k, v in info.items()
+             if hasattr(v, "size") and v.size == n_lanes})
+        for lane in range(n_lanes):
+            rows_per_lane[lane].append(
+                {k: float(np.asarray(v).reshape(-1)[lane])
+                 for k, v in host_info.items()})
+        if (t + 1) % 100 == 0 or time.perf_counter() - t_last_log > 240:
+            rate = (t + 1) / (time.perf_counter() - t_wall)
+            log(f"  {label}: t={t + 1}/{episode_steps} ({rate:.2f} steps/s)")
+            t_last_log = time.perf_counter()
+    return rows_per_lane, bcarry
 
 
 def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
@@ -184,21 +220,8 @@ def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
                                 (len(chunk),) + env._zero_action.shape)
         if step_fn is None:
             step_fn = jax.jit(jax.vmap(env._pure_step))
-        rows_per_lane: list[list[dict]] = [[] for _ in chunk]
-        t_wall = time.perf_counter()
-        for t in range(episode_steps):
-            bcarry, _, _, info = step_fn(bcarry, bact)
-            host_info = jax.device_get(
-                {k: v for k, v in info.items()
-                 if hasattr(v, "size") and v.size == len(chunk)})
-            for lane in range(len(chunk)):
-                rows_per_lane[lane].append(
-                    {k: float(np.asarray(v).reshape(-1)[lane])
-                     for k, v in host_info.items()})
-            if (t + 1) % 100 == 0:
-                rate = (t + 1) / (time.perf_counter() - t_wall)
-                log(f"  chunk {c0 // lanes}: t={t + 1}/{episode_steps} "
-                    f"({rate:.2f} steps/s)")
+        rows_per_lane, _ = _roll_episode(step_fn, bcarry, bact, episode_steps,
+                                         len(chunk), f"chunk {c0 // lanes}")
         for lane, (mode, idx) in enumerate(chunk):
             rows = rows_per_lane[lane]
             violations = env.episode_sanity_violations(rows)
@@ -212,18 +235,115 @@ def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
             all_rows.extend(rows)
             log(f"  saved episode {mode.value}_{idx:02d}")
 
-    for mode, idx in repairs:
-        # single-env repair path: extend the snapshot's burn-in in place and
-        # re-record (FluidEnv._record_uncontrolled_episode, two attempts)
-        env.mode = mode
-        rows = env._record_uncontrolled_episode(
-            mode, idx, episode_steps, verbose=True)
-        all_rows.extend(rows)
-        log(f"  repaired episode {mode.value}_{idx:02d}")
+    if repairs:
+        all_rows.extend(run_repairs(env, repairs, episode_steps, lanes,
+                                    step_fn))
 
     if all_rows:
         env._save_domain_statistics(env._pool_statistics_rows(all_rows))
         log("saved domain_statistics.json (screened pooling)")
+
+
+def run_repairs(env, repairs, episode_steps: int, lanes: int,
+                step_fn=None) -> list[dict]:
+    """Lane-parallel repair protocol (mirrors
+    ``FluidEnv._record_uncontrolled_episode``: re-record, and on sanity
+    failure extend the snapshot's burn-in by 50% of the configured burn-in
+    and try again, up to 3 attempts, always shipping the best attempt).
+
+    All device work goes through the SAME vmapped lockstep program stage 2
+    compiled (padding short chunks to the full lane width), so the repair
+    phase never triggers the unbatched ``_pure_step`` compile that stalled
+    log-silent for >25 min on the TPU chain and got the step watchdog-killed.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fluidgym_tpu.envs.fluid_env import MODE_SEEDS
+    from fluidgym_tpu.utils import data_utils
+
+    all_rows: list[dict] = []
+    # (mode, idx) -> (score, rows); score = (1 if violations else 0, bad_frac)
+    best: dict[tuple, tuple] = {}
+    extra = max(1, env._initial_domain_steps // 2)
+    active = list(repairs)
+    if step_fn is None:
+        step_fn = jax.jit(jax.vmap(env._pure_step))
+
+    for attempt in range(3):
+        if not active:
+            break
+        log(f"repair attempt {attempt}: {len(active)} episodes, "
+            f"lanes={lanes}")
+        still_failing: list[tuple] = []
+        for c0 in range(0, len(active), lanes):
+            chunk = active[c0:c0 + lanes]
+            # pad to the compiled lane width so no new program is built
+            padded = chunk + [chunk[-1]] * (lanes - len(chunk))
+            carries = []
+            for mode, idx in padded:
+                env.mode = mode
+                env.load_initial_domain(mode, idx, user_only=True)
+                env.seed(MODE_SEEDS[mode] + idx)
+                carries.append(env._pure_carry())
+            bcarry = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *carries)
+            bact = jnp.broadcast_to(env._zero_action,
+                                    (lanes,) + env._zero_action.shape)
+            rows_per_lane, bcarry = _roll_episode(
+                step_fn, bcarry, bact, episode_steps, lanes,
+                f"repair a{attempt} chunk {c0 // lanes}")
+            failing_lanes = []
+            for lane, (mode, idx) in enumerate(chunk):
+                rows = rows_per_lane[lane]
+                violations = env.episode_sanity_violations(rows)
+                converged, inlier = env._episode_row_masks(rows)
+                bad_frac = (1.0 - float((converged & inlier).mean())
+                            if rows else 1.0)
+                score = (1 if violations else 0, bad_frac)
+                key = (mode, idx)
+                if key not in best or score < best[key][0]:
+                    best[key] = (score, rows)
+                if violations:
+                    log(f"  repair {mode.value}_{idx:02d} a{attempt} still "
+                        f"fails ({'; '.join(violations)})")
+                    failing_lanes.append((lane, mode, idx))
+                    still_failing.append(key)
+                else:
+                    data_utils.save_uncontrolled_episode(
+                        env.initial_domain_id, mode.value, idx, rows)
+                    all_rows.extend(rows)
+                    log(f"  repaired episode {mode.value}_{idx:02d}")
+            if failing_lanes and attempt < 2:
+                # extend the burn-in from the post-episode state (the episode
+                # above already advanced it; keep marching so the extension
+                # builds on it), then re-save the failing lanes' snapshots
+                for _ in range(extra):
+                    bcarry, *_ = step_fn(bcarry, bact)
+                for lane, mode, idx in failing_lanes:
+                    lane_carry = jax.device_get(
+                        jax.tree.map(lambda a: a[lane], bcarry))
+                    if not all(np.isfinite(x).all()
+                               for x in jax.tree.leaves(lane_carry)):
+                        log(f"    !!! extended burn-in for "
+                            f"{mode.value}_{idx:02d} NOT FINITE; keeping the "
+                            f"original snapshot")
+                        continue
+                    env._set_pure_carry(lane_carry)
+                    env._save_initial_domain(mode, idx)
+                    log(f"    extended burn-in by {extra} steps and re-saved "
+                        f"{mode.value}_{idx:02d}")
+        active = still_failing
+
+    for mode, idx in active:  # exhausted attempts: ship the best trace
+        score, rows = best[(mode, idx)]
+        log(f"  !!! episode {mode.value}_{idx:02d} STILL fails sanity after "
+            f"repairs; shipping the best attempt ({score[1]:.0%} bad rows) "
+            f"— inspect this snapshot")
+        data_utils.save_uncontrolled_episode(
+            env.initial_domain_id, mode.value, idx, rows)
+        all_rows.extend(rows)
+    return all_rows
 
 
 def bundle(env) -> None:
@@ -256,6 +376,8 @@ def main() -> None:
     ap.add_argument("--env-kw", nargs="*", default=[],
                     help="extra env kwargs as key=value (values eval'd)")
     args = ap.parse_args()
+
+    _heartbeat.start()
 
     import jax
 

@@ -1,0 +1,145 @@
+"""End-to-end smoke of the batched dataset generator (scripts/).
+
+The TPU dataset chain runs ``scripts/generate_datasets.py`` unattended for
+hours; a regression there silently poisons bundled datasets or stalls the
+chain.  These tests drive the real stage-1 (lockstep burn-ins), stage-2
+(episode recording + sanity screening), and the lane-parallel repair path
+on a tiny CPU RBC2D config against a temp data dir.
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import fluidgym_tpu
+from fluidgym_tpu.config import config
+from fluidgym_tpu.envs.fluid_env import MODE_SEEDS
+from fluidgym_tpu.utils import data_utils
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def gen():
+    """Import scripts/generate_datasets.py as a module."""
+    spec = importlib.util.spec_from_file_location(
+        "generate_datasets", REPO / "scripts" / "generate_datasets.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("generate_datasets", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture()
+def tiny_env(tmp_path, monkeypatch):
+    monkeypatch.setattr(config, "_data_path", Path(tmp_path))
+    env = fluidgym_tpu.make(
+        "RBC2D-easy-v0", n_heaters=4, resolution=4,
+        load_initial_domain=False, load_domain_statistics=False,
+        randomize_initial_state=False)
+    env._load_domain_on_reset = False
+    env._enable_actions = False
+    monkeypatch.setattr(env, "_initial_domain_steps", 4, raising=False)
+    return env
+
+
+def test_stage1_stage2_roundtrip(gen, tiny_env):
+    env = tiny_env
+    jobs = gen.build_jobs(env, n_domains=2, burnin_scale=1.0)
+    assert len(jobs) == 6  # restart config: per-mode burn-ins
+    gen.run_stage1(env, jobs, lanes=3)
+    for mode in MODE_SEEDS:
+        for idx in range(2):
+            assert env._check_initial_domains_exist(
+                mode=mode, idx=idx, user_only=True), (mode, idx)
+
+    gen.run_stage2(env, n_domains=2, episode_steps=6, lanes=3)
+    ddir = data_utils.initial_domain_dir(env.initial_domain_id,
+                                         user_only=True)
+    csvs = sorted(p.name for p in ddir.glob("*_uncontrolled_episode.csv"))
+    assert len(csvs) == 6
+    rows = data_utils.load_uncontrolled_episode(
+        env.initial_domain_id, "train", 0)
+    assert len(rows) == 6
+    assert all(np.isfinite(float(r["nusselt"])) for r in rows)
+    assert (ddir / "domain_statistics.json").exists()
+
+    # resumability: a second stage-2 run reuses every episode
+    gen.run_stage2(env, n_domains=2, episode_steps=6, lanes=3)
+
+
+def test_repairs_rerecord_contaminated_episode(gen, tiny_env):
+    """A pre-existing episode CSV that fails the sanity screen is repaired
+    through the lane-parallel vmapped path: its snapshot burn-in is extended
+    in place and a clean trace replaces the contaminated one."""
+    env = tiny_env
+    jobs = gen.build_jobs(env, n_domains=1, burnin_scale=1.0)
+    gen.run_stage1(env, jobs, lanes=3)
+
+    # plant a contaminated train_00 trace (pressure solver "failed"
+    # everywhere) long enough to be reused rather than re-recorded
+    bad = [{"nusselt": 1.0, "reward": 0.0, "pressure_converged": 0.0}
+           for _ in range(6)]
+    data_utils.save_uncontrolled_episode(
+        env.initial_domain_id, "train", 0, bad)
+    gen.run_stage2(env, n_domains=1, episode_steps=6, lanes=3)
+
+    rows = data_utils.load_uncontrolled_episode(
+        env.initial_domain_id, "train", 0)
+    assert len(rows) == 6
+    assert all(float(r["pressure_converged"]) > 0.5 for r in rows), (
+        "repair must re-record a clean trace over the contaminated CSV")
+    assert not env.episode_sanity_violations(
+        [{k: float(v) for k, v in r.items()} for r in rows])
+
+
+def test_run_repairs_ships_best_attempt_when_all_fail(gen, tiny_env,
+                                                      monkeypatch):
+    """If every attempt still violates the screen, the fewest-bad-rows
+    attempt ships (parity with FluidEnv._record_uncontrolled_episode)."""
+    env = tiny_env
+    jobs = gen.build_jobs(env, n_domains=1, burnin_scale=1.0)
+    gen.run_stage1(env, jobs, lanes=3)
+
+    # force the screen to always fail but with improving bad fractions so
+    # the "best" tracking is observable; run_repairs calls the mask helper
+    # twice per attempt (screen + score), so key the fraction on call//2
+    seq = [0.5, 0.2, 0.4]
+    calls = [0]
+    real_masks = env._episode_row_masks
+
+    def masks(rows):
+        conv, inl = real_masks(rows)
+        frac = seq[min(calls[0] // 2, 2)]
+        calls[0] += 1
+        n_bad = int(round(frac * len(rows)))
+        conv = conv.copy()
+        conv[:n_bad] = False
+        return conv, inl
+
+    monkeypatch.setattr(env, "_episode_row_masks", masks)
+
+    # record what each attempt produced so "best" is identifiable
+    attempts = []
+    real_roll = gen._roll_episode
+
+    def roll(*a, **k):
+        rows_per_lane, carry = real_roll(*a, **k)
+        attempts.append(rows_per_lane[0])
+        return rows_per_lane, carry
+
+    monkeypatch.setattr(gen, "_roll_episode", roll)
+
+    out = gen.run_repairs(env, [(list(MODE_SEEDS)[0], 0)], episode_steps=5,
+                          lanes=3)
+    assert len(out) == 5
+    assert len(attempts) == 3
+    rows = data_utils.load_uncontrolled_episode(
+        env.initial_domain_id, "train", 0)
+    assert len(rows) == 5
+    want = [float(r["nusselt"]) for r in attempts[1]]  # fewest bad rows
+    got = [float(r["nusselt"]) for r in rows]
+    assert got == pytest.approx(want), "the best (attempt-1) trace must ship"
