@@ -17,10 +17,12 @@ window, so every new compile gets its own).
 
 from __future__ import annotations
 
+import builtins
 import threading
 import time
 
 _last = [time.time()]
+_print = builtins.print
 
 
 def touch() -> None:
@@ -29,15 +31,23 @@ def touch() -> None:
 
 
 def start(grace_s: float = 2700.0, every_s: float = 240.0) -> None:
-    """Start the daemon heartbeat thread (idempotent per process in spirit;
-    call once)."""
+    """Start the daemon heartbeat thread (call once per process).
+
+    Every ordinary ``print`` counts as progress (builtins.print is wrapped),
+    so callers only need ``touch()`` for progress that bypasses print."""
+
+    def printing(*args, **kwargs):
+        touch()
+        _print(*args, **kwargs)
+
+    builtins.print = printing
 
     def run() -> None:
         while True:
             time.sleep(every_s)
             quiet = time.time() - _last[0]
             if every_s <= quiet < grace_s:
-                print(
+                _print(
                     f"[hb {time.strftime('%H:%M:%S')}] alive, "
                     f"{int(quiet)}s since last progress "
                     f"(compile / long device call grace)",

@@ -26,6 +26,11 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+import _heartbeat  # noqa: E402
+
+_heartbeat.start()
 
 import jax
 import jax.numpy as jnp
