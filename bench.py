@@ -271,6 +271,16 @@ def _yield_tpu_from_chain() -> bool:
         try:
             root = int(path.read_text().strip())
         except ValueError:
+            path.unlink(missing_ok=True)
+            continue
+        # stale-pid guard: only signal processes that look like the chain
+        # (bash/timeout/python); a recycled pid from a dead chain shell must
+        # not take down an unrelated tree
+        out = subprocess.run(["ps", "-o", "comm=", "-p", str(root)],
+                             capture_output=True, text=True)
+        comm = out.stdout.strip()
+        if comm not in ("bash", "timeout", "python", "python3"):
+            path.unlink(missing_ok=True)
             continue
         victims, frontier = [], [root]
         while frontier:  # collect the whole tree before signalling
@@ -285,6 +295,7 @@ def _yield_tpu_from_chain() -> bool:
                 signalled = True
             except (ProcessLookupError, PermissionError):
                 pass
+        path.unlink(missing_ok=True)  # never re-kill a recycled pid later
     return signalled
 
 

@@ -195,7 +195,9 @@ def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
                     # its snapshot repaired (extended burn-in) + re-recorded
                     log(f"  reused episode {mode.value}_{idx:02d} fails "
                         f"sanity ({'; '.join(violations)}); queued for repair")
-                    repairs.append((mode, idx))
+                    # prior=None: the stale CSV may predate solver fixes, so
+                    # the repair re-records from the unmodified snapshot first
+                    repairs.append((mode, idx, None))
                 else:
                     all_rows.extend(rows)
                 continue
@@ -228,7 +230,10 @@ def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
             if violations:
                 log(f"  episode {mode.value}_{idx:02d} fails sanity "
                     f"({'; '.join(violations)}); queued for repair")
-                repairs.append((mode, idx))
+                # prior=rows: this exact trace was just recorded by the
+                # current program — repairs skip the redundant re-record and
+                # go straight to the burn-in extension
+                repairs.append((mode, idx, rows))
                 continue
             data_utils.save_uncontrolled_episode(
                 env.initial_domain_id, mode.value, idx, rows)
@@ -236,8 +241,9 @@ def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
             log(f"  saved episode {mode.value}_{idx:02d}")
 
     if repairs:
-        all_rows.extend(run_repairs(env, repairs, episode_steps, lanes,
-                                    step_fn))
+        all_rows.extend(run_repairs(
+            env, repairs, episode_steps, lanes, step_fn,
+            compiled_width=min(lanes, len(todo)) if todo else None))
 
     if all_rows:
         env._save_domain_statistics(env._pool_statistics_rows(all_rows))
@@ -245,16 +251,24 @@ def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
 
 
 def run_repairs(env, repairs, episode_steps: int, lanes: int,
-                step_fn=None) -> list[dict]:
+                step_fn=None, compiled_width=None) -> list[dict]:
     """Lane-parallel repair protocol (mirrors
     ``FluidEnv._record_uncontrolled_episode``: re-record, and on sanity
     failure extend the snapshot's burn-in by 50% of the configured burn-in
     and try again, up to 3 attempts, always shipping the best attempt).
 
+    ``repairs`` entries are ``(mode, idx)`` or ``(mode, idx, prior_rows)``.
+    ``prior_rows`` — a trace this run already recorded from the unmodified
+    snapshot — seeds the best-attempt tracking and sends the episode
+    straight to the burn-in extension (re-recording it would reproduce the
+    identical failing rows).  Entries without prior rows (stale on-disk
+    CSVs that may predate solver fixes) are re-recorded first.
+
     All device work goes through the SAME vmapped lockstep program stage 2
-    compiled (padding short chunks to the full lane width), so the repair
-    phase never triggers the unbatched ``_pure_step`` compile that stalled
-    log-silent for >25 min on the TPU chain and got the step watchdog-killed.
+    compiled (``compiled_width`` lanes; short chunks are padded to it), so
+    the repair phase never triggers a fresh ``_pure_step`` compile — the
+    unbatched one stalled log-silent for >25 min on the TPU chain and got
+    the step watchdog-killed.
     """
     import jax
     import jax.numpy as jnp
@@ -263,44 +277,87 @@ def run_repairs(env, repairs, episode_steps: int, lanes: int,
     from fluidgym_tpu.envs.fluid_env import MODE_SEEDS
     from fluidgym_tpu.utils import data_utils
 
+    repairs = [r if len(r) == 3 else (r[0], r[1], None) for r in repairs]
     all_rows: list[dict] = []
     # (mode, idx) -> (score, rows); score = (1 if violations else 0, bad_frac)
     best: dict[tuple, tuple] = {}
     extra = max(1, env._initial_domain_steps // 2)
-    active = list(repairs)
+    width = compiled_width or min(lanes, len(repairs))
     if step_fn is None:
         step_fn = jax.jit(jax.vmap(env._pure_step))
 
+    def screen(rows):
+        """(violations, score) — one mask pass per trace."""
+        violations = env.episode_sanity_violations(rows)
+        converged, inlier = env._episode_row_masks(rows)
+        bad_frac = (1.0 - float((converged & inlier).mean())
+                    if rows else 1.0)
+        return violations, (1 if violations else 0, bad_frac)
+
+    def batch_carries(jobs):
+        carries = []
+        for mode, idx in jobs:
+            env.mode = mode
+            env.load_initial_domain(mode, idx, user_only=True)
+            env.seed(MODE_SEEDS[mode] + idx)
+            carries.append(env._pure_carry())
+        bcarry = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *carries)
+        bact = jnp.broadcast_to(env._zero_action,
+                                (len(jobs),) + env._zero_action.shape)
+        return bcarry, bact
+
+    def save_extended_snapshots(bcarry, lanes_to_save, n_steps):
+        for lane, mode, idx in lanes_to_save:
+            lane_carry = jax.device_get(
+                jax.tree.map(lambda a: a[lane], bcarry))
+            if not all(np.isfinite(x).all()
+                       for x in jax.tree.leaves(lane_carry)):
+                log(f"    !!! extended burn-in for {mode.value}_{idx:02d} "
+                    f"NOT FINITE; keeping the original snapshot")
+                continue
+            env._set_pure_carry(lane_carry)
+            env._save_initial_domain(mode, idx)
+            log(f"    extended burn-in by {n_steps} steps and re-saved "
+                f"{mode.value}_{idx:02d}")
+
+    # Pre-extension pass: episodes whose failing trace was just recorded by
+    # this very program skip the redundant attempt-0 re-record — their
+    # snapshots get the burn-in extension up front instead.
+    pre = [(m, i) for m, i, prior in repairs if prior is not None]
+    for m, i, prior in repairs:
+        if prior is not None:
+            best[(m, i)] = (screen(prior)[1], prior)
+    for c0 in range(0, len(pre), width):
+        chunk = pre[c0:c0 + width]
+        padded = chunk + [chunk[-1]] * (width - len(chunk))
+        bcarry, bact = batch_carries(padded)
+        log(f"pre-extending burn-in for {len(chunk)} fresh-failure "
+            f"snapshots ({extra} steps)")
+        for _ in range(extra):
+            bcarry, *_ = step_fn(bcarry, bact)
+        save_extended_snapshots(
+            bcarry, [(lane, m, i) for lane, (m, i) in enumerate(chunk)],
+            extra)
+
+    active = [(m, i) for m, i, _ in repairs]
     for attempt in range(3):
         if not active:
             break
         log(f"repair attempt {attempt}: {len(active)} episodes, "
-            f"lanes={lanes}")
+            f"width={width}")
         still_failing: list[tuple] = []
-        for c0 in range(0, len(active), lanes):
-            chunk = active[c0:c0 + lanes]
+        for c0 in range(0, len(active), width):
+            chunk = active[c0:c0 + width]
             # pad to the compiled lane width so no new program is built
-            padded = chunk + [chunk[-1]] * (lanes - len(chunk))
-            carries = []
-            for mode, idx in padded:
-                env.mode = mode
-                env.load_initial_domain(mode, idx, user_only=True)
-                env.seed(MODE_SEEDS[mode] + idx)
-                carries.append(env._pure_carry())
-            bcarry = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *carries)
-            bact = jnp.broadcast_to(env._zero_action,
-                                    (lanes,) + env._zero_action.shape)
+            padded = chunk + [chunk[-1]] * (width - len(chunk))
+            bcarry, bact = batch_carries(padded)
             rows_per_lane, bcarry = _roll_episode(
-                step_fn, bcarry, bact, episode_steps, lanes,
-                f"repair a{attempt} chunk {c0 // lanes}")
+                step_fn, bcarry, bact, episode_steps, width,
+                f"repair a{attempt} chunk {c0 // width}")
             failing_lanes = []
             for lane, (mode, idx) in enumerate(chunk):
                 rows = rows_per_lane[lane]
-                violations = env.episode_sanity_violations(rows)
-                converged, inlier = env._episode_row_masks(rows)
-                bad_frac = (1.0 - float((converged & inlier).mean())
-                            if rows else 1.0)
-                score = (1 if violations else 0, bad_frac)
+                violations, score = screen(rows)
                 key = (mode, idx)
                 if key not in best or score < best[key][0]:
                     best[key] = (score, rows)
@@ -320,19 +377,7 @@ def run_repairs(env, repairs, episode_steps: int, lanes: int,
                 # builds on it), then re-save the failing lanes' snapshots
                 for _ in range(extra):
                     bcarry, *_ = step_fn(bcarry, bact)
-                for lane, mode, idx in failing_lanes:
-                    lane_carry = jax.device_get(
-                        jax.tree.map(lambda a: a[lane], bcarry))
-                    if not all(np.isfinite(x).all()
-                               for x in jax.tree.leaves(lane_carry)):
-                        log(f"    !!! extended burn-in for "
-                            f"{mode.value}_{idx:02d} NOT FINITE; keeping the "
-                            f"original snapshot")
-                        continue
-                    env._set_pure_carry(lane_carry)
-                    env._save_initial_domain(mode, idx)
-                    log(f"    extended burn-in by {extra} steps and re-saved "
-                        f"{mode.value}_{idx:02d}")
+                save_extended_snapshots(bcarry, failing_lanes, extra)
         active = still_failing
 
     for mode, idx in active:  # exhausted attempts: ship the best trace

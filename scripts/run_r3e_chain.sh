@@ -20,10 +20,14 @@ if [ -n "${1:-}" ]; then
   while kill -0 "$1" 2>/dev/null; do sleep 30; done
 fi
 sleep 60
+# advertise the chain shell so bench.py's round-end reclaim can kill the
+# WHOLE chain tree (not just the current step, which would be replaced by
+# the next one within seconds)
+echo $$ > /tmp/r3d.pid
 
 step() {
   echo "=== $(date +%H:%M:%S) $* ===" >> "$LOG"
-  timeout "${STEP_TIMEOUT:-5400}" "$@" >> "$LOG" 2>&1 &
+  timeout -k 30 "${STEP_TIMEOUT:-5400}" "$@" >> "$LOG" 2>&1 &
   local pid=$!
   echo $pid > /tmp/tpu_step.pid
   # log-silence watchdog: scripts now emit in-process heartbeats during
@@ -37,9 +41,13 @@ step() {
       last=$size
       if [ "$quiet" -ge 900 ]; then
         echo "!!! STALL WATCHDOG: no log output for ${quiet}s, killing step" >> "$LOG"
-        kill "$pid" 2>/dev/null
+        # kill the python child too: TERM-ing only the timeout wrapper can
+        # orphan a TERM-resistant wedged TPU holder (it keeps the
+        # single-tenant grant and wedges every later step)
+        kids=$(ps -o pid= --ppid "$pid" 2>/dev/null)
+        kill "$pid" $kids 2>/dev/null
         sleep 10
-        kill -9 "$pid" 2>/dev/null
+        kill -9 "$pid" $kids 2>/dev/null
         break
       fi
     done
@@ -52,18 +60,18 @@ step() {
 
 mkdir -p bench_assets/control
 # collect the SAC result the r3d chain's step produced before handover
-grep -h '"algo": "SAC"' "$LOG" | tail -1 \
-    > bench_assets/control/sac_rbc2d_easy.json || true
+out=$(grep -h '"algo": "SAC"' "$LOG" | tail -1)
+[ -n "$out" ] && echo "$out" > bench_assets/control/sac_rbc2d_easy.json
 
 # 1. MA-PPO / MA-SAC recorded results (complete the RL-baseline roster)
 STEP_TIMEOUT=2700 step python -u scripts/train_ppo_tpu.py \
     --env-id RBC2D-easy-v0 --marl --n-envs 8 --iters 40 --minutes 18
-grep -h '"algo": "MA-PPO"' "$LOG" | tail -1 \
-    > bench_assets/control/mappo_rbc2d_easy.json || true
+out=$(grep -h '"algo": "MA-PPO"' "$LOG" | tail -1)
+[ -n "$out" ] && echo "$out" > bench_assets/control/mappo_rbc2d_easy.json
 STEP_TIMEOUT=2700 step python -u scripts/train_sac_tpu.py \
     --env-id RBC2D-easy-v0 --marl --n-envs 8 --iters 50 --minutes 18
-grep -h '"algo": "MA-SAC"' "$LOG" | tail -1 \
-    > bench_assets/control/masac_rbc2d_easy.json || true
+out=$(grep -h '"algo": "MA-SAC"' "$LOG" | tail -1)
+[ -n "$out" ] && echo "$out" > bench_assets/control/masac_rbc2d_easy.json
 
 # 2. advisor HIGH: Airfoil2D-medium episode repair (lane-parallel now)
 STEP_TIMEOUT=10800 step $GEN Airfoil2D-medium-v0 --lanes 2 \
@@ -116,4 +124,5 @@ while read -r line; do
   STEP_TIMEOUT=9000 step $retry
 done
 
+rm -f /tmp/r3d.pid
 echo "=== R3E CHAIN DONE $(date) ===" >> "$LOG"

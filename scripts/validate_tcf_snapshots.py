@@ -26,11 +26,8 @@ import numpy as np
 
 from fluidgym_tpu.core.domain_io import load_domain
 
-DNS_ANCHORS = {
-    180: {"u'+_max": 2.70, "U+_centerline": 18.3},
-    330: {"u'+_max": 2.74, "U+_centerline": 19.4},
-    550: {"u'+_max": 2.77, "U+_centerline": 20.25},
-}
+sys.path.insert(0, str(REPO / "scripts"))
+from _tcf_anchors import DNS_ANCHORS  # noqa: E402
 
 
 def validate(base: Path) -> dict:
@@ -51,6 +48,10 @@ def validate(base: Path) -> dict:
         U_sum += u.mean(axis=(1, 3))                   # x-z avg -> (3, ny)
         UU_sum += (u ** 2).mean(axis=(1, 3))
         n += 1
+    if n == 0:
+        raise FileNotFoundError(
+            f"no snapshot .json files under {base} (only "
+            f"domain_statistics.json?) — wrong or pruned dataset dir")
     U, UU = U_sum / n, UU_sum / n
     uprime = np.sqrt(np.maximum(UU - U ** 2, 0.0))
 

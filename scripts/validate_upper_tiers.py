@@ -38,13 +38,9 @@ import numpy as np
 
 import fluidgym_tpu
 
-# interpolated literature anchors (see module docstring); tolerance is the
-# coarse-LES band established by the round-2 resolution study
-DNS_ANCHORS = {
-    180: {"u'+_max": 2.70, "U+_centerline": 18.3},
-    330: {"u'+_max": 2.74, "U+_centerline": 19.4},
-    550: {"u'+_max": 2.77, "U+_centerline": 20.25},
-}
+# interpolated literature anchors (shared with validate_tcf_snapshots.py);
+# tolerance is the coarse-LES band established by the round-2 resolution study
+from _tcf_anchors import DNS_ANCHORS  # noqa: E402
 
 
 def tcf_tier(env_id: str, burnin: int, n_stat: int) -> dict:
@@ -68,6 +64,10 @@ def tcf_tier(env_id: str, burnin: int, n_stat: int) -> dict:
         try:
             env.load_initial_domain(EnvMode.TRAIN, idx)
         except FileNotFoundError:
+            # reset explicitly: without this the lane would silently reuse
+            # whatever state the PREVIOUS load left in the env, degenerating
+            # the ensemble to duplicated trajectories
+            env.reset(seed=idx)
             print(f"  (no bundled TRAIN_{idx:02d} snapshot; lane starts "
                   f"from the built-in initial state)", flush=True)
         carries.append(env._pure_carry())

@@ -96,6 +96,39 @@ def test_repairs_rerecord_contaminated_episode(gen, tiny_env):
         [{k: float(v) for k, v in r.items()} for r in rows])
 
 
+def test_run_repairs_pre_extends_fresh_failures(gen, tiny_env, monkeypatch):
+    """An entry carrying prior rows (a trace this run just recorded) skips
+    the redundant attempt-0 re-record: its snapshot burn-in is extended
+    BEFORE the first recording."""
+    env = tiny_env
+    jobs = gen.build_jobs(env, n_domains=1, burnin_scale=1.0)
+    gen.run_stage1(env, jobs, lanes=3)
+
+    events = []
+    real_save = env._save_initial_domain
+    monkeypatch.setattr(
+        env, "_save_initial_domain",
+        lambda mode, idx: (events.append("save"), real_save(mode, idx)))
+    real_roll = gen._roll_episode
+
+    def roll(*a, **k):
+        events.append("roll")
+        return real_roll(*a, **k)
+
+    monkeypatch.setattr(gen, "_roll_episode", roll)
+
+    prior = [{"nusselt": 1.0, "reward": 0.0, "pressure_converged": 0.0}
+             for _ in range(5)]  # fails the screen (non-converged)
+    mode = list(MODE_SEEDS)[0]
+    out = gen.run_repairs(env, [(mode, 0, prior)], episode_steps=5, lanes=3)
+
+    assert events[0] == "save", "burn-in extension must precede any roll"
+    assert events[1] == "roll" and events.count("roll") == 1, (
+        "a genuine re-record passes the screen on the first attempt")
+    assert len(out) == 5
+    assert all(float(r["pressure_converged"]) > 0.5 for r in out)
+
+
 def test_run_repairs_ships_best_attempt_when_all_fail(gen, tiny_env,
                                                       monkeypatch):
     """If every attempt still violates the screen, the fewest-bad-rows
