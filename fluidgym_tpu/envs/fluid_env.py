@@ -801,8 +801,15 @@ class FluidEnv(ABC, FluidEnvLike):
         inlier = np.ones(n, bool)
         if n < 8:   # too short for robust statistics; keep everything
             return converged, inlier
+        # Screen PHYSICS metrics only.  Solver diagnostics are excluded: the
+        # iteration count is quantized by the restart chunk size, so its MAD
+        # collapses to ~0 and the sigma floor turns the 8-sigma clip into a
+        # few-iteration band that rejects perfectly healthy rows (measured:
+        # up to 60% of RBC rows dropped, crushing the nusselt spread the
+        # reward normalization depends on); the residual is tol-bounded by
+        # construction and carries no physics.
         keys = [k for k in rows[0]
-                if k != "pressure_converged"
+                if not k.startswith("pressure_")
                 and all(k in r for r in rows)]
         for k in keys:
             v = np.asarray([float(r[k]) for r in rows])
@@ -844,8 +851,25 @@ class FluidEnv(ABC, FluidEnvLike):
         statistics, dropping rows where the pressure solve failed and
         robust-sigma outlier rows so the normalization references reflect
         the stationary uncontrolled flow (the reference pools raw rows;
-        screening here is a documented deviation — docs/data.md)."""
+        screening here is a documented deviation — docs/data.md).
+
+        The outlier mask is only trusted when it is SPARSE: row-level
+        screening exists to drop a handful of contaminated steps, and a mask
+        that flags more than ``_EPISODE_MAX_BAD_FRACTION`` of the pooled rows
+        is reading distribution structure, not contamination (measured on the
+        bundled RBC NH24 configs: nusselt is multi-modal across snapshots, so
+        a MAD clip centered on the dominant mode rejected ~40% of healthy
+        rows and collapsed the spread the reward normalization depends on).
+        Mass-flagged pools keep every converged row; systemically bad
+        episodes are handled upstream by the per-episode sanity screen."""
         converged, inlier = self._episode_row_masks(all_rows)
+        out_frac = float((converged & ~inlier).mean()) if len(all_rows) else 0
+        if out_frac > self._EPISODE_MAX_BAD_FRACTION:
+            self._logger.warning(
+                "domain statistics: outlier screen flagged %.0f%% of pooled "
+                "rows — treating as multi-modal physics, keeping all "
+                "converged rows", 100 * out_frac)
+            inlier = np.ones(len(all_rows), bool)
         keep = converged & inlier
         n_drop = int((~keep).sum())
         if n_drop:

@@ -117,6 +117,41 @@ def test_pooling_survives_all_bad(rbc):
     assert len(pooled["drag"]) == 50
 
 
+def test_pooling_ignores_solver_diagnostic_columns(rbc):
+    """Quantized iteration counts have near-zero MAD, so screening them
+    turns the 8-sigma clip into a few-iteration band that rejects healthy
+    rows (measured: up to 60% of RBC rows dropped).  Diagnostics carry no
+    physics and must be excluded from the outlier screen."""
+    rows = _rows(n=200)
+    for i, r in enumerate(rows):
+        # restart-chunk-quantized iterations: most at 500, a tail at 840
+        r["pressure_iterations"] = 840.0 if i % 10 == 0 else 500.0
+        r["pressure_residual"] = 9e-6 if i % 7 == 0 else 2e-8
+    assert rbc.episode_sanity_violations(rows) == []
+    pooled = rbc._pool_statistics_rows(rows)
+    assert len(pooled["drag"]) == 200
+
+
+def test_pooling_keeps_multimodal_physics(rbc):
+    """A mass-flagging outlier mask is distribution structure (e.g. nusselt
+    levels differing across snapshots), not contamination — pooling must
+    keep every converged row rather than crush the spread the reward
+    normalization depends on (measured on the bundled RBC NH24 configs)."""
+    rng = np.random.default_rng(3)
+    rows = []
+    for level in (5.0, 9.0):   # two snapshot populations, 50/50
+        for _ in range(100):
+            rows.append({
+                "nusselt": level + 0.05 * rng.standard_normal(),
+                "reward": -0.1 + 0.02 * rng.standard_normal(),
+                "pressure_converged": 1.0,
+            })
+    pooled = rbc._pool_statistics_rows(rows)
+    assert len(pooled["nusselt"]) == 200
+    span = pooled["nusselt"].max() - pooled["nusselt"].min()
+    assert span > 3.5, "both modes must survive pooling"
+
+
 def test_record_episode_ships_best_attempt(rbc, monkeypatch, tmp_path):
     """When every repair attempt still violates the sanity screen, the
     attempt with the FEWEST bad rows ships — never simply the last one
