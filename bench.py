@@ -251,7 +251,7 @@ def main() -> None:
     }))
 
 
-_CHAIN_PID_FILES = ("/tmp/r3d.pid", "/tmp/tpu_step.pid")
+_CHAIN_PID_FILES = ("/tmp/r4.pid", "/tmp/r3d.pid", "/tmp/tpu_step.pid")
 
 
 def _yield_tpu_from_chain() -> bool:

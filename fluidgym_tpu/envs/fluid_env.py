@@ -792,12 +792,16 @@ class FluidEnv(ABC, FluidEnvLike):
         """Per-row screening masks for an uncontrolled-episode trace.
 
         Returns ``(converged, inlier)`` boolean arrays: ``converged`` is
-        False where the pressure solve reported failure; ``inlier`` is False
-        where any metric deviates more than ``_STATS_MAD_CLIP`` robust sigmas
-        (MAD-based) from that metric's median across the given rows."""
+        False where any solver stage (pressure, advection, ...) reported
+        failure; ``inlier`` is False where any metric deviates more than
+        ``_STATS_MAD_CLIP`` robust sigmas (MAD-based) from that metric's
+        median across the given rows."""
         n = len(rows)
+        conv_keys = [k for k in rows[0] if k.endswith("_converged")] \
+            or ["pressure_converged"]
         converged = np.array(
-            [float(r.get("pressure_converged", 1.0)) >= 0.5 for r in rows])
+            [all(float(r.get(k, 1.0)) >= 0.5 for k in conv_keys)
+             for r in rows])
         inlier = np.ones(n, bool)
         if n < 8:   # too short for robust statistics; keep everything
             return converged, inlier
@@ -807,9 +811,13 @@ class FluidEnv(ABC, FluidEnvLike):
         # few-iteration band that rejects perfectly healthy rows (measured:
         # up to 60% of RBC rows dropped, crushing the nusselt spread the
         # reward normalization depends on); the residual is tol-bounded by
-        # construction and carries no physics.
+        # construction and carries no physics.  ``*_converged`` flags are
+        # near-constant binaries (MAD ~0, so any failed step would read as a
+        # "metric outlier"); they belong in the converged mask above, not
+        # the outlier screen.
         keys = [k for k in rows[0]
                 if not k.startswith("pressure_")
+                and not k.endswith("_converged")
                 and all(k in r for r in rows)]
         for k in keys:
             v = np.asarray([float(r[k]) for r in rows])

@@ -234,6 +234,15 @@ class BatchedFluidEnv:
         self._step_counts += 1
         truncated = self._step_counts >= self.env.episode_length
         terminated = self._per_env_terminated(info)
+        if bool(terminated.any()):
+            # A diverged lane's reward/obs are NaN fields; they carry no
+            # information (the lane is flagged ``terminated``), but a NaN
+            # reward poisons advantage normalization and a NaN
+            # final_observation poisons TD targets even when masked
+            # (0*NaN = NaN) -- the MA-SAC iteration-7 NaN root cause.
+            rewards = jnp.where(jnp.isfinite(rewards), rewards, 0.0)
+            obs = jax.tree.map(
+                lambda x: jnp.where(jnp.isfinite(x), x, 0.0), obs)
         done = terminated | truncated
         if self.auto_reset and bool(done.any()):
             obs, info = self._auto_reset_done(obs, info, done)

@@ -48,6 +48,31 @@ def test_batched_sharded_over_mesh():
     assert np.isfinite(np.asarray(rewards)).all()
 
 
+def test_diverged_lane_rewards_and_obs_sanitized():
+    """A diverged lane terminates AND its NaN reward/obs are zeroed: a NaN
+    reward poisons advantage normalization and a NaN final_observation
+    poisons TD targets even when masked (0*NaN = NaN) — the MA-SAC
+    iteration-7 NaN root cause (round-3 verdict)."""
+    benv = BatchedFluidEnv("RBC2D-easy-v0", n_envs=3, **DEV_KW)
+    benv.reset(seed=0)
+    benv._bstate = jax.tree.map(
+        lambda x: x.at[1].set(jnp.nan)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        benv._bstate)
+    actions = np.zeros((3,) + tuple(benv.action_space.shape), np.float32)
+    obs, rew, term, trunc, info = benv.step(actions)
+    assert bool(term[1]) and not bool(term[0]) and not bool(term[2])
+    assert np.isfinite(np.asarray(rew)).all()
+    for v in obs.values():
+        assert np.isfinite(np.asarray(v)).all()
+    for v in info["final_observation"].values():
+        assert np.isfinite(np.asarray(v)).all()
+    # the diverged lane was auto-reset in place: the next step is healthy
+    obs, rew, term, trunc, info = benv.step(actions)
+    assert not np.asarray(term).any()
+    assert np.isfinite(np.asarray(rew)).all()
+
+
 def test_batched_marl_step():
     benv = BatchedFluidEnv("RBC2D-easy-v0", n_envs=2, use_marl=True, **DEV_KW)
     obs, _ = benv.reset(seed=0)

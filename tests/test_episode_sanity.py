@@ -132,24 +132,40 @@ def test_pooling_ignores_solver_diagnostic_columns(rbc):
     assert len(pooled["drag"]) == 200
 
 
-def test_pooling_keeps_multimodal_physics(rbc):
+def test_pooling_keeps_multimodal_physics(rbc, caplog):
     """A mass-flagging outlier mask is distribution structure (e.g. nusselt
     levels differing across snapshots), not contamination — pooling must
     keep every converged row rather than crush the spread the reward
-    normalization depends on (measured on the bundled RBC NH24 configs)."""
+    normalization depends on (measured on the bundled RBC NH24 configs).
+
+    The split is deliberately IMBALANCED (140/60): with a 50/50 split the
+    median lands between the modes and the MAD spans both, so nothing
+    flags and the mass-flag branch is never exercised (round-3 advisor
+    finding).  Here the median/MAD collapse into the dominant mode, the
+    minority mode mass-flags (30% > the 10% budget), and pooling must
+    take the keep-all-converged path."""
+    import logging
+
     rng = np.random.default_rng(3)
     rows = []
-    for level in (5.0, 9.0):   # two snapshot populations, 50/50
-        for _ in range(100):
+    for level, count in ((5.0, 140), (9.0, 60)):
+        for _ in range(count):
             rows.append({
                 "nusselt": level + 0.05 * rng.standard_normal(),
                 "reward": -0.1 + 0.02 * rng.standard_normal(),
                 "pressure_converged": 1.0,
             })
-    pooled = rbc._pool_statistics_rows(rows)
+    # precondition: the raw screen really does mass-flag the minority mode
+    conv, inlier = rbc._episode_row_masks(rows)
+    assert float((conv & ~inlier).mean()) > 0.10, \
+        "test setup must trigger the mass-flag guard"
+    with caplog.at_level(logging.WARNING):
+        pooled = rbc._pool_statistics_rows(rows)
     assert len(pooled["nusselt"]) == 200
     span = pooled["nusselt"].max() - pooled["nusselt"].min()
     assert span > 3.5, "both modes must survive pooling"
+    assert "multi-modal" in caplog.text, \
+        "the keep-all-converged branch must have fired"
 
 
 def test_record_episode_ships_best_attempt(rbc, monkeypatch, tmp_path):
