@@ -54,6 +54,25 @@ def test_airfoil_attack_angle_validation():
         fluidgym_tpu.make("Airfoil2D-easy-v0", attack_angle_deg=25.0, **DEV_KW)
 
 
+def test_airfoil_3d_smoke(monkeypatch):
+    """Minimal 3D airfoil graph in the DEFAULT suite (round-3 verdict: a
+    3D-only regression must not pass CI silently).  res_z=2 SARL is the
+    cheapest 3D compile (~5 min on one CPU core — the fixed 6-block C-grid
+    has no xy resolution knob, matching the reference's table-driven NACA
+    grid); the full MARL contract stays @slow below."""
+    from fluidgym_tpu.envs.airfoil.airfoil_env_3d import AirfoilEnv3D
+
+    monkeypatch.setattr(AirfoilEnv3D, "_res_z", 2)
+    env = fluidgym_tpu.make("Airfoil3D-easy-v0", n_agents=1,
+                            init_from_2d=False, **DEV_KW)
+    obs, _ = env.reset(seed=0)
+    for v in obs.values():
+        assert np.isfinite(np.asarray(v)).all()
+    obs, r, te, tr, info = env.step(env.sample_action())
+    assert np.isfinite(float(np.asarray(r)))
+    assert np.isfinite(float(np.asarray(info["drag"])))
+
+
 @pytest.mark.slow  # ~21 min on one CPU core (3D airfoil compile + steps)
 def test_airfoil_3d_marl_contract(monkeypatch):
     import jax.numpy as jnp

@@ -34,6 +34,20 @@ def _check_obs(env, obs):
         assert np.isfinite(np.asarray(v)).all()
 
 
+def test_rbc3d_smoke():
+    """Tiny-grid 3D reset+step in the DEFAULT suite: a 3D-only regression
+    must not pass CI silently (round-3 verdict weak #5).  Full-size 3D
+    physics marches stay @slow/offline."""
+    env = fluidgym_tpu.make("RBC3D-easy-v0", n_heaters=4, resolution=4,
+                            use_marl=False, **DEV_KW)
+    obs, _ = env.reset(seed=0)
+    _check_obs(env, obs)
+    obs, reward, te, tr, info = env.step(env.sample_action())
+    _check_obs(env, obs)
+    assert np.isfinite(float(np.asarray(reward)))
+    assert np.isfinite(float(np.asarray(info["nusselt"])))
+
+
 def test_registry_ids():
     ids = fluidgym_tpu.registry.ids()
     for want in ["RBC2D-easy-v0", "RBC2D-medium-v0", "RBC2D-hard-v0",

@@ -154,6 +154,45 @@ def test_tcf_sharded_step_matches_unsharded():
         np.asarray(ref.blocks[0].pressure), rtol=0, atol=1e-4)
 
 
+@pytest.mark.slow  # full TCFLarge geometry: two big 3D compiles on CPU
+def test_tcflarge_geometry_sharded_step_matches_unsharded():
+    """Spatial decomposition demonstrated at the domain size it exists for:
+    the REAL TCFLarge geometry (128 x 65 x 128, 2pi x 2 x pi), x sharded
+    over the full 8-device mesh (round-3 verdict #9).  Sharded single_step
+    must equal the single-device program."""
+    assert len(jax.devices()) >= 8, "conftest forces 8 virtual devices"
+    env = fluidgym_tpu.make(
+        "TCFLarge3D-bottom-easy-v0", use_marl=False,
+        load_initial_domain=False, load_domain_statistics=False,
+        randomize_initial_state=False, episode_length=2)
+    env.reset(seed=0)
+    geoms, topo, cfg, hooks = env._geoms, env._topo, env._cfg, env._hooks
+    state = env._state
+    assert state.blocks[0].pressure.shape[-1] == 128
+    assert state.blocks[0].pressure.shape[-2] == 64  # 65 wall-normal vertices
+
+    ref = jax.jit(
+        lambda s: single_step(s, geoms, topo, cfg, hooks)
+    )(state)
+
+    mesh = make_mesh(n_sp=8)
+    sharded, specs = shard_domain_state(state, mesh)
+    assert specs.blocks[0].pressure.spec[-1] == "sp"  # x=128 over 8 devices
+    step = jax.jit(
+        lambda s: single_step(s, geoms, topo, cfg, hooks),
+        in_shardings=(specs,),
+        out_shardings=specs,
+    )
+    out = step(sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(out.blocks[0].velocity),
+        np.asarray(ref.blocks[0].velocity), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.blocks[0].pressure),
+        np.asarray(ref.blocks[0].pressure), rtol=0, atol=1e-4)
+
+
 def test_tcf_sharded_along_z_matches_unsharded():
     """Generalized-axis decomposition: the same tiny 3D TCF sharded along
     its z dimension (spatial_dim="z") -- TCFLarge's largest extents are x
