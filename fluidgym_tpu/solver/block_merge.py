@@ -41,7 +41,46 @@ from fluidgym_tpu.core.domain import BoundKind, DomainTopo, face_axis
 
 __all__ = ["MergePlan", "Placement", "SeamFixup", "merge_plan",
            "trivial_plan", "pack_fields", "unpack_fields", "pack_ops",
-           "merged_apply"]
+           "merged_apply", "set_merged_xla_solves",
+           "merged_xla_solves_enabled"]
+
+#: Routing mode for MERGED-FRAME solves on the plain XLA path (no Pallas):
+#: multi-block topologies whose solves did not route to a resident kernel
+#: (flip-seam C-grids under "auto", VMEM-too-big plans, CPU) run the
+#: blockwise Krylov loop with a matvec of 6 small blocks + per-seam
+#: transposed halo exchanges; in the merged frame the same solve is 3
+#: contiguous roll-stencils + static slab fixups -- identical iterates (the
+#: merge is an exact permutation), fewer/larger fused ops per iteration.
+#: "auto" = flip-seam (non-identity) plans only, i.e. exactly the
+#: topologies the resident kernels decline (airfoil C-grids); identity-seam
+#: plans keep their resident-kernel routing, and single-block topologies
+#: are unaffected.  True = all plans with a merge plan; False = off.
+#: Ships OFF pending the hardware A/B (scripts/merged_xla_ab.py).
+_XLA_MODE = False
+
+
+def set_merged_xla_solves(enabled) -> None:
+    """True/False/"auto": see ``_XLA_MODE`` above."""
+    global _XLA_MODE
+    if enabled not in (True, False, "auto"):
+        raise ValueError(
+            f"set_merged_xla_solves expects True, False, or 'auto'; "
+            f"got {enabled!r}")
+    _XLA_MODE = enabled
+
+
+def merged_xla_solves_enabled():
+    """False, True (all plans), or "auto" (non-identity-seam plans only)."""
+    import os
+
+    env = os.environ.get("FLUIDGYM_MERGED_XLA_SOLVES", "").strip().lower()
+    if env in ("0", "false", "off"):
+        return False
+    if env in ("1", "true", "on"):
+        return True
+    if env == "auto":
+        return "auto"
+    return _XLA_MODE
 
 
 # ---------------------------------------------------------------------------

@@ -381,6 +381,82 @@ def _fused_bicg_mb_solve(mplan, ops, b, topo: DomainTopo, *, tol, maxiter,
     return res, inf
 
 
+def _merged_xla_plan(ops, topo: DomainTopo):
+    """Dispatch gate for MERGED-FRAME solves on the plain XLA path
+    (block_merge._XLA_MODE): used when no resident kernel took the solve.
+    The merge is an exact permutation, so the Krylov iterates (and info)
+    are identical to the blockwise path -- only the matvec shape changes
+    (few contiguous roll-stencils + static slab fixups instead of many
+    small blocks with transposed halo exchanges).  Returns the MergePlan
+    or None."""
+    from fluidgym_tpu.solver import block_merge
+
+    if len(topo.blocks) < 2 or ops[0].diag.ndim != topo.ndims:
+        return None
+    mode = block_merge.merged_xla_solves_enabled()
+    if mode is False:
+        return None
+    plan = block_merge.merge_plan(topo)
+    if plan is None:
+        return None
+    if mode == "auto" and plan.identity_seams:
+        return None  # identity-seam plans route to the resident kernels
+    return plan
+
+
+def _merged_xla_solve(xplan, ops, b, *, tol, maxiter, stall_iters,
+                      precondition, return_best, x0, symmetric,
+                      matvec_extra=None):
+    """Run linsolve.cg/bicgstab in the merged super-block frame.
+
+    ``b``/``x0`` may carry a leading component axis (joint velocity
+    solves); components are packed separately and the merged matvec is
+    vmapped over them (merged_apply's static slab indexing is rank-exact).
+    """
+    from fluidgym_tpu.solver import block_merge, linsolve
+
+    assert matvec_extra is None  # extra linear terms stay on the block path
+    spatial_rank = ops[0].diag.ndim
+    chan = b[0].ndim - spatial_rank  # 0 (scalar) or 1 (components)
+    C = b[0].shape[0] if chan else 1
+    mops = block_merge.pack_ops(xplan, ops)
+    S = len(xplan.superblocks)
+
+    def pack(fields):
+        if chan:
+            per_c = [block_merge.pack_fields(
+                xplan, tuple(f[c] for f in fields)) for c in range(C)]
+            return tuple(jnp.stack([per_c[c][s] for c in range(C)], axis=0)
+                         for s in range(S))
+        return block_merge.pack_fields(xplan, tuple(fields))
+
+    def unpack(ys):
+        if chan:
+            per_c = [block_merge.unpack_fields(
+                xplan, tuple(y[c] for y in ys)) for c in range(C)]
+            nblocks = len(per_c[0])
+            return tuple(jnp.stack([per_c[c][bi] for c in range(C)], axis=0)
+                         for bi in range(nblocks))
+        return tuple(block_merge.unpack_fields(xplan, ys))
+
+    mv1 = lambda ys: block_merge.merged_apply(xplan, mops, ys)
+    pmv = jax.vmap(mv1, in_axes=0, out_axes=0) if chan else mv1
+    precond_fn = None
+    if precondition:
+        inv_diag = tuple(1.0 / m[0] for m in mops)
+        # zero-padded cells (none for fully-tiled plans) would give inf;
+        # merge plans are rectangular-tiled so diag covers every cell
+        def precond_fn(rs):
+            return tuple(d * r for d, r in zip(inv_diag, rs))
+    pb = pack(b)
+    px0 = None if x0 is None else pack(x0)
+    solver = linsolve.cg if symmetric else linsolve.bicgstab
+    xs, inf = solver(pmv, pb, x0=px0, tol=tol, maxiter=maxiter,
+                     return_best=return_best, precond=precond_fn,
+                     stall_iters=stall_iters)
+    return unpack(xs), inf
+
+
 def _fused_cg_mb_plan(ops, topo: DomainTopo, coarse_fn):
     """Dispatch gate for the MERGED-frame fused CG (ops/cg_pallas_mb.py):
     multi-block topologies whose merge plan (solver/block_merge.py) exists
@@ -489,6 +565,10 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
         mplan = None
         if not fused and precond_override is None:
             mplan = _fused_cg_mb_plan(ops, topo, coarse_fn)
+        xplan = None
+        if (not fused and mplan is None and precond_override is None
+                and coarse_fn is None):
+            xplan = _merged_xla_plan(ops, topo)
 
         def _merged_solve(bb, guess, solve_tol=None):
             from fluidgym_tpu.ops import cg_pallas_mb
@@ -521,6 +601,11 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                 return (x1,), inf
             if mplan is not None:
                 return _merged_solve(rhs, None, solve_tol=refine_inner_tol)
+            if xplan is not None:
+                return _merged_xla_solve(
+                    xplan, ops, rhs, tol=refine_inner_tol, maxiter=maxiter,
+                    stall_iters=stall_iters, precondition=precondition,
+                    return_best=return_best, x0=None, symmetric=True)
             return linsolve.cg(mv, rhs, tol=refine_inner_tol,
                                maxiter=maxiter, return_best=return_best,
                                precond=precond_fn, stall_iters=stall_iters)
@@ -543,6 +628,11 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                 return (x1,), inf
             if mplan is not None:
                 return _merged_solve(b, guess)
+            if xplan is not None:
+                return _merged_xla_solve(
+                    xplan, ops, b, tol=tol_resolved, maxiter=maxiter,
+                    stall_iters=stall_iters, precondition=precondition,
+                    return_best=return_best, x0=guess, symmetric=True)
             return linsolve.cg(mv, b, x0=guess, tol=tol, maxiter=maxiter,
                                return_best=return_best, precond=precond_fn,
                                stall_iters=stall_iters)
@@ -603,6 +693,13 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
             # implicit-function VJP (custom_linear_solve) is unchanged
             def solve_fn(mv_fn, bb):
                 return _merged_solve(bb, diff_guess(mv_fn, bb))[0]
+        elif xplan is not None:
+            def solve_fn(mv_fn, bb):
+                return _merged_xla_solve(
+                    xplan, ops, bb, tol=tol_resolved, maxiter=maxiter,
+                    stall_iters=stall_iters, precondition=precondition,
+                    return_best=return_best, x0=diff_guess(mv_fn, bb),
+                    symmetric=True)[0]
         else:
             def solve_fn(mv_fn, bb):
                 guess = diff_guess(mv_fn, bb)
@@ -617,6 +714,9 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
     mplan_b = None
     if matvec_extra is None and precond_override is None:
         mplan_b = _fused_bicg_mb_plan(ops, topo)
+    xplan_b = None
+    if mplan_b is None and matvec_extra is None and precond_override is None:
+        xplan_b = _merged_xla_plan(ops, topo)
 
     def _inner_bicg_for_refine(rhs):
         """Path-specific BiCGStab inner solver for linsolve.refined (unit-RMS
@@ -628,6 +728,11 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                 mplan_b, ops, rhs, topo, tol=refine_inner_tol,
                 maxiter=maxiter, stall_iters=stall_iters,
                 precondition=precondition, return_best=return_best, x0=None)
+        if xplan_b is not None:
+            return _merged_xla_solve(
+                xplan_b, ops, rhs, tol=refine_inner_tol, maxiter=maxiter,
+                stall_iters=stall_iters, precondition=precondition,
+                return_best=return_best, x0=None, symmetric=False)
         return linsolve.bicgstab(mv, rhs, tol=refine_inner_tol,
                                  maxiter=maxiter, return_best=return_best,
                                  stall_iters=stall_iters, precond=precond_fn)
@@ -643,6 +748,11 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                 maxiter=maxiter, stall_iters=stall_iters,
                 precondition=precondition, return_best=return_best,
                 x0=x0)
+        if xplan_b is not None:
+            return _merged_xla_solve(
+                xplan_b, ops, b, tol=tol_resolved, maxiter=maxiter,
+                stall_iters=stall_iters, precondition=precondition,
+                return_best=return_best, x0=x0, symmetric=False)
         return linsolve.bicgstab(mv, b, x0=x0, tol=tol, maxiter=maxiter,
                                  return_best=return_best,
                                  stall_iters=stall_iters, precond=precond_fn)
@@ -663,6 +773,12 @@ def _solve(ops, b, topo: DomainTopo, *, tol, maxiter, symmetric, use_bicg,
                 mplan_b, ops, bb, topo, tol=tol_resolved, maxiter=maxiter,
                 stall_iters=stall_iters, precondition=precondition,
                 return_best=return_best, x0=None)[0]
+    elif xplan_b is not None:
+        def solve_fn(mv_fn, bb):
+            return _merged_xla_solve(
+                xplan_b, ops, bb, tol=tol_resolved, maxiter=maxiter,
+                stall_iters=stall_iters, precondition=precondition,
+                return_best=return_best, x0=None, symmetric=False)[0]
     else:
         def solve_fn(mv_fn, bb):
             return linsolve.bicgstab(mv_fn, bb, tol=tol, maxiter=maxiter,

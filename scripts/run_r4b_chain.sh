@@ -57,5 +57,10 @@ STEP_TIMEOUT=5400 step python -u scripts/train_tdmpc_tpu.py \
     --env-id RBC2D-easy-v0 --n-envs 32 --iters 200 --minutes 45
 grab '"algo": "TD-MPC"' bench_assets/control/tdmpc_rbc2d_easy.json
 
+# 2. merged-frame XLA solve A/B on the airfoil (round-4 perf work; flips
+#    block_merge._XLA_MODE default if it wins)
+STEP_TIMEOUT=3600 step python -u scripts/merged_xla_ab.py Airfoil2D-easy-v0
+grab '"merged_xla_speedup"' bench_assets/control/merged_xla_ab.json
+
 echo "=== $(date +%H:%M:%S) r4b chain complete ===" >> "$LOG"
 rm -f /tmp/r4.pid

@@ -176,3 +176,75 @@ def test_airfoil_merged_apply_matches_domain_apply(airfoil_env):
     for w, g in zip(want, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_solve_merged_xla_path_matches_blockwise(airfoil_env):
+    """piso._solve with merged-XLA routing enabled must solve the SAME
+    system as the blockwise path on the flip-seam C-grid (the topology the
+    resident kernels decline): converged, residual at tol, and the unpacked
+    solution satisfies the BLOCK-frame operator."""
+    from fluidgym_tpu.solver import piso
+
+    env = airfoil_env
+    topo = env._topo
+    ops = _pressure_ops(env)
+    rng = np.random.default_rng(7)
+    x_true = tuple(jnp.asarray(rng.standard_normal(bt.shape), jnp.float32)
+                   for bt in topo.blocks)
+    b = st.domain_apply(ops, x_true, topo)  # in range(A)
+    ncell = sum(a.size for a in b)
+    kw = dict(tol=3e-5, maxiter=4000, symmetric=True, use_bicg=False,
+              return_best=True, differentiable=False, precondition=True)
+
+    x_ref, info_ref = piso._solve(ops, b, topo, **kw)
+    assert bool(info_ref.converged)
+
+    bm.set_merged_xla_solves(True)
+    try:
+        assert piso._merged_xla_plan(ops, topo) is not None
+        x_m, info_m = piso._solve(ops, b, topo, **kw)
+    finally:
+        bm.set_merged_xla_solves(False)
+    assert bool(info_m.converged)
+    # the merge is an exact permutation: iterates match up to fp reduction
+    # ordering, so iteration counts agree closely
+    assert abs(int(info_m.iterations) - int(info_ref.iterations)) <= 5, (
+        int(info_m.iterations), int(info_ref.iterations))
+    r = [np.asarray(bi) - np.asarray(ai)
+         for bi, ai in zip(b, st.domain_apply(ops, x_m, topo))]
+    rmse = np.sqrt(sum((a ** 2).sum() for a in r) / ncell)
+    assert rmse <= 2 * kw["tol"], rmse
+
+
+def test_solve_merged_xla_bicgstab_with_channels(airfoil_env):
+    """The merged-XLA BiCGStab path carries joint velocity solves (leading
+    component axis) by vmapping the merged matvec over components."""
+    from fluidgym_tpu.solver import piso
+
+    env = airfoil_env
+    topo = env._topo
+    ops = _pressure_ops(env)  # SPD is fine for BiCGStab
+    rng = np.random.default_rng(8)
+    x_true = tuple(
+        jnp.asarray(rng.standard_normal((2,) + bt.shape), jnp.float32)
+        for bt in topo.blocks)
+    b = tuple(
+        jnp.stack([st.domain_apply(ops, tuple(x[c] for x in x_true),
+                                   topo)[bi] for c in range(2)], axis=0)
+        for bi in range(len(topo.blocks)))
+    ncell = sum(a.size for a in b)
+    kw = dict(tol=3e-5, maxiter=4000, symmetric=False, use_bicg=True,
+              return_best=True, differentiable=False, precondition=True)
+
+    bm.set_merged_xla_solves(True)
+    try:
+        x_m, info_m = piso._solve(ops, b, topo, **kw)
+    finally:
+        bm.set_merged_xla_solves(False)
+    assert bool(info_m.converged)
+    got = [np.stack([np.asarray(
+        st.domain_apply(ops, tuple(x[c] for x in x_m), topo)[bi])
+        for c in range(2)]) for bi in range(len(topo.blocks))]
+    r = [np.asarray(bi) - ai for bi, ai in zip(b, got)]
+    rmse = np.sqrt(sum((a ** 2).sum() for a in r) / ncell)
+    assert rmse <= 2 * kw["tol"], rmse
