@@ -30,7 +30,7 @@ def touch() -> None:
     _last[0] = time.time()
 
 
-def start(grace_s: float = 2700.0, every_s: float = 240.0) -> None:
+def start(grace_s: float = 1800.0, every_s: float = 240.0) -> None:
     """Start the daemon heartbeat thread (call once per process).
 
     Every ordinary ``print`` counts as progress (builtins.print is wrapped),
