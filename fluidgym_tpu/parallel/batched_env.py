@@ -58,6 +58,17 @@ class BatchedFluidEnv:
         picks the largest divisor of ``n_envs`` that is <= 128 when
         ``n_envs > 128``, else no chunking.  Must divide ``n_envs``;
         per-env physics is unchanged (per-lane convergence masking).
+    divergence_reward : reward substituted on a diverged (terminated) lane's
+        final step, replacing the solver's NaN.  Must be clearly WORSE than
+        any legitimate return: a neutral value (0) makes crashing the solver
+        a jackpot under terminal masking — typical rewards are ~-1, so a
+        zero-reward terminal beats living at gamma=0.99 by ~+100 advantage,
+        and a PPO policy measurably learned to diverge all lanes within one
+        iteration when round 4 first shipped 0 here.  The reference
+        sidesteps the question by RAISING on divergence in its single env
+        (fluid_env._check_solver_health); a batch must keep healthy lanes
+        running, so the penalty is the batched stand-in (documented
+        deviation).  Default -100 ~= one bad reward / (1 - gamma).
     env_kwargs : forwarded to ``make``.
     """
 
@@ -70,8 +81,10 @@ class BatchedFluidEnv:
         mesh: "jax.sharding.Mesh | None" = None,
         auto_reset: bool = True,
         lockstep_chunk: "int | str | None" = "auto",
+        divergence_reward: float = -100.0,
         **env_kwargs: Any,
     ):
+        self.divergence_reward = float(divergence_reward)
         self.env_id = env_id
         self.n_envs = int(n_envs)
         self.mesh = mesh
@@ -235,12 +248,15 @@ class BatchedFluidEnv:
         truncated = self._step_counts >= self.env.episode_length
         terminated = self._per_env_terminated(info)
         if bool(terminated.any()):
-            # A diverged lane's reward/obs are NaN fields; they carry no
-            # information (the lane is flagged ``terminated``), but a NaN
-            # reward poisons advantage normalization and a NaN
-            # final_observation poisons TD targets even when masked
-            # (0*NaN = NaN) -- the MA-SAC iteration-7 NaN root cause.
-            rewards = jnp.where(jnp.isfinite(rewards), rewards, 0.0)
+            # A diverged lane's reward/obs are NaN fields: a NaN reward
+            # poisons advantage normalization and a NaN final_observation
+            # poisons TD targets even when masked (0*NaN = NaN) -- the
+            # MA-SAC iteration-7 NaN root cause.  The reward becomes a
+            # strong PENALTY, not a neutral 0 (see ``divergence_reward``:
+            # a zero terminal is a jackpot next to ~-1 living rewards, and
+            # PPO learned to crash the solver when 0 was shipped here).
+            rewards = jnp.where(jnp.isfinite(rewards), rewards,
+                                self.divergence_reward)
             obs = jax.tree.map(
                 lambda x: jnp.where(jnp.isfinite(x), x, 0.0), obs)
         done = terminated | truncated

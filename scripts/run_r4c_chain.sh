@@ -61,7 +61,14 @@ grab() {
 STEP_TIMEOUT=9000 step $GEN Airfoil2D-medium-v0 --lanes 2 \
     --episode-steps 100 --transient-steps 999999 --transient-split 4 --bundle
 
-# 2. TCF Re330 time-averaged validation (replaces the snapshot-ensemble
+# 2. flagship control win: PPO on the cylinder (first attempt was poisoned
+#    by the divergence-reward jackpot bug; re-run on the fixed code)
+STEP_TIMEOUT=7200 step python -u scripts/train_ppo_tpu.py \
+    --env-id CylinderJet2D-easy-v0 --n-envs 32 --iters 400 --minutes 75
+grab '"algo": "PPO", "env_id": "CylinderJet2D-easy-v0"' \
+    bench_assets/control/ppo_cylinder_easy.json
+
+# 3. TCF Re330 time-averaged validation (replaces the snapshot-ensemble
 #    method-calibration argument with a measurement)
 STEP_TIMEOUT=9000 step $V TCFSmall3D-bottom-medium-v0
 grab '"env_id": "TCFSmall3D-bottom-medium-v0"' \

@@ -129,6 +129,11 @@ def main() -> int:
             ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
             return pg + 0.5 * vloss - 0.001 * ent, pg
         (_, pg), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        # one bad minibatch (ratio overflow on an outlier transition) must
+        # not NaN the params forever: skip non-finite gradients
+        ok = jnp.all(jnp.asarray([jnp.isfinite(x).all()
+                                  for x in jax.tree.leaves(g)]))
+        g = jax.tree.map(lambda x: jnp.where(ok, x, 0.0), g)
         upd, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(p, upd), opt_state, pg
 
@@ -207,9 +212,12 @@ def main() -> int:
 
         r_mean = float(rews.mean())
         rew_trace.append(r_mean)
+        p_ok = bool(np.all([np.isfinite(np.asarray(x)).all()
+                            for x in jax.tree.leaves(params)]))
         print(f"iter {it}: mean_reward={r_mean:+.5f} "
               f"env_steps={env_steps} "
-              f"({env_steps / (time.time() - t0):.0f} env-steps/s)", flush=True)
+              f"({env_steps / (time.time() - t0):.0f} env-steps/s)"
+              + ("" if p_ok else " PARAMS_NONFINITE"), flush=True)
 
     train_minutes = (time.time() - t0) / 60.0
 

@@ -290,6 +290,10 @@ def main() -> int:
             return total, (consistency, reward_loss, value_loss)
 
         (_, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # one bad batch must not NaN the params forever: skip non-finite grads
+        ok = jnp.all(jnp.asarray([jnp.isfinite(x).all()
+                                  for x in jax.tree.leaves(g)]))
+        g = jax.tree.map(lambda x: jnp.where(ok, x, 0.0), g)
         upd, opt_state = opt.update(g, opt_state)
         params = optax.apply_updates(params, upd)
         targets = jax.tree.map(lambda t, s: (1 - TAU) * t + TAU * s, targets,

@@ -63,6 +63,10 @@ def test_diverged_lane_rewards_and_obs_sanitized():
     obs, rew, term, trunc, info = benv.step(actions)
     assert bool(term[1]) and not bool(term[0]) and not bool(term[2])
     assert np.isfinite(np.asarray(rew)).all()
+    # the diverged lane's reward is a strong PENALTY, never a neutral 0:
+    # a zero terminal out-scores ~-1 living rewards under terminal masking
+    # and teaches policies to crash the solver (observed with PPO)
+    assert float(rew[1]) == benv.divergence_reward < -10.0
     for v in obs.values():
         assert np.isfinite(np.asarray(v)).all()
     for v in info["final_observation"].values():
