@@ -247,16 +247,35 @@ class BatchedFluidEnv:
         self._step_counts += 1
         truncated = self._step_counts >= self.env.episode_length
         terminated = self._per_env_terminated(info)
+        # Late-divergence guard: a blowing-up lane can emit non-finite
+        # rewards/observations one step BEFORE its pressure residual flags
+        # (the solver converges on already-corrupt fields), which slips NaN
+        # past the sanitization below and into training buffers (observed:
+        # a PPO run's params went NaN mid-round-4).  Any lane whose reward
+        # or observation is non-finite terminates NOW.
+        na = self.n_agents if self.use_marl else 1
+        rew_rows = np.asarray(
+            jax.device_get(rewards)).reshape(self.n_envs, -1)
+        bad = ~np.isfinite(rew_rows).all(axis=1)
+        for leaf in jax.tree.leaves(obs):
+            rows = np.asarray(jax.device_get(leaf)).reshape(
+                self.n_envs, na, -1)
+            bad |= ~np.isfinite(rows).all(axis=(1, 2))
+        terminated = terminated | bad
         if bool(terminated.any()):
             # A diverged lane's reward/obs are NaN fields: a NaN reward
             # poisons advantage normalization and a NaN final_observation
             # poisons TD targets even when masked (0*NaN = NaN) -- the
-            # MA-SAC iteration-7 NaN root cause.  The reward becomes a
-            # strong PENALTY, not a neutral 0 (see ``divergence_reward``:
-            # a zero terminal is a jackpot next to ~-1 living rewards, and
-            # PPO learned to crash the solver when 0 was shipped here).
-            rewards = jnp.where(jnp.isfinite(rewards), rewards,
-                                self.divergence_reward)
+            # MA-SAC iteration-7 NaN root cause.  Every terminated lane's
+            # reward becomes a strong PENALTY, not a neutral 0 (see
+            # ``divergence_reward``: a zero terminal is a jackpot next to
+            # ~-1 living rewards, and PPO learned to crash the solver when
+            # 0 was shipped here).
+            lane = jnp.repeat(jnp.asarray(terminated),
+                              rewards.shape[0] // self.n_envs)
+            rewards = jnp.where(
+                lane, jnp.asarray(self.divergence_reward, rewards.dtype),
+                rewards)
             obs = jax.tree.map(
                 lambda x: jnp.where(jnp.isfinite(x), x, 0.0), obs)
         done = terminated | truncated

@@ -77,6 +77,28 @@ def test_diverged_lane_rewards_and_obs_sanitized():
     assert np.isfinite(np.asarray(rew)).all()
 
 
+def test_late_divergence_guard_terminates_on_bad_obs(monkeypatch):
+    """A blowing-up lane can emit non-finite rewards/obs one step BEFORE
+    its pressure residual flags; the step must terminate it from the
+    reward/obs finiteness itself (round-4 PPO params-NaN root cause)."""
+    benv = BatchedFluidEnv("RBC2D-easy-v0", n_envs=3, **DEV_KW)
+    benv.reset(seed=0)
+    benv._bstate = jax.tree.map(
+        lambda x: x.at[1].set(jnp.nan)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        benv._bstate)
+    # blind the residual-based detector: only the finiteness guard remains
+    monkeypatch.setattr(
+        benv, "_per_env_terminated",
+        lambda info: np.zeros(benv.n_envs, bool))
+    actions = np.zeros((3,) + tuple(benv.action_space.shape), np.float32)
+    obs, rew, term, trunc, info = benv.step(actions)
+    assert bool(term[1]) and not bool(term[0]) and not bool(term[2])
+    assert float(rew[1]) == benv.divergence_reward
+    for v in obs.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
 def test_batched_marl_step():
     benv = BatchedFluidEnv("RBC2D-easy-v0", n_envs=2, use_marl=True, **DEV_KW)
     obs, _ = benv.reset(seed=0)
