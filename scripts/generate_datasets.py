@@ -208,7 +208,25 @@ def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
         f"({len(jobs) - len(todo) - len(repairs)} reused, "
         f"{len(repairs)} repairs)")
 
-    step_fn = None
+    step_fn = (jax.jit(jax.vmap(env._pure_step))
+               if (todo or repairs) else None)
+
+    # Repairs of previously shipped-bad episodes run FIRST: under the
+    # chain's step timeout, the fresh-episode long tail must never starve
+    # the repair queue (it did exactly that twice — the advisor-HIGH
+    # Airfoil2D-medium contamination survived rounds 2 and 3 because the
+    # repair phase sat behind ~4h of new-episode recording).  Statistics
+    # are re-pooled immediately after so a later kill still ships a
+    # decontaminated zero-point.
+    if repairs:
+        all_rows.extend(run_repairs(
+            env, repairs, episode_steps, lanes, step_fn,
+            compiled_width=lanes))
+        repairs = []
+        if all_rows:
+            env._save_domain_statistics(env._pool_statistics_rows(all_rows))
+            log("saved domain_statistics.json (interim post-repair pooling)")
+
     for c0 in range(0, len(todo), lanes):
         chunk = todo[c0:c0 + lanes]
         carries = []
@@ -220,8 +238,6 @@ def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
         bcarry = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *carries)
         bact = jnp.broadcast_to(env._zero_action,
                                 (len(chunk),) + env._zero_action.shape)
-        if step_fn is None:
-            step_fn = jax.jit(jax.vmap(env._pure_step))
         rows_per_lane, _ = _roll_episode(step_fn, bcarry, bact, episode_steps,
                                          len(chunk), f"chunk {c0 // lanes}")
         for lane, (mode, idx) in enumerate(chunk):
