@@ -92,44 +92,46 @@ fi
 # 2. advisor HIGH (round 2!): Airfoil2D-medium episode repair -- repairs
 #    now run first inside the generator, so the contamination fix lands
 #    within the cap even though the fresh-episode tail exceeds it.
-STEP_TIMEOUT=10800 FLUIDGYM_MERGED_XLA_SOLVES=${MERGED_ENV:+auto} step \
+STEP_TIMEOUT=7200 FLUIDGYM_MERGED_XLA_SOLVES=${MERGED_ENV:+auto} step \
     $GEN Airfoil2D-medium-v0 --lanes 4 \
     --episode-steps 100 --transient-steps 999999 --transient-split 4 --bundle
 
-# 3. TCF Re330 time-averaged validation (replaces the snapshot-ensemble
+# 3. statistics repool audit over the shipped bundle (right after the
+#    repair so the decontaminated zero-point ships no matter what follows)
+STEP_TIMEOUT=1200 step python -u scripts/repool_statistics.py --apply
+
+# 4. TCF Re330 time-averaged validation (replaces the snapshot-ensemble
 #    method-calibration argument with a measurement)
-STEP_TIMEOUT=9000 step $V TCFSmall3D-bottom-medium-v0
+STEP_TIMEOUT=5400 step $V TCFSmall3D-bottom-medium-v0
 grab '"env_id": "TCFSmall3D-bottom-medium-v0"' \
     bench_assets/validation/tcf_re330.json
 
-# 4. PPO RBC re-run with the fixed GAE estimator
-STEP_TIMEOUT=3600 step python -u scripts/train_ppo_tpu.py \
+# 5. PPO RBC re-run with the fixed GAE estimator
+STEP_TIMEOUT=2400 step python -u scripts/train_ppo_tpu.py \
     --env-id RBC2D-easy-v0 --n-envs 64 --iters 200 --minutes 25
 grab '"algo": "PPO", "env_id": "RBC2D-easy-v0"' \
     bench_assets/control/ppo_rbc2d_easy.json
 
-# 5. TD-MPC baseline (the last missing algorithm artifact)
-STEP_TIMEOUT=4200 step python -u scripts/train_tdmpc_tpu.py \
-    --env-id RBC2D-easy-v0 --n-envs 32 --iters 200 --minutes 40
+# 6. TD-MPC baseline (the last missing algorithm artifact)
+STEP_TIMEOUT=2700 step python -u scripts/train_tdmpc_tpu.py \
+    --env-id RBC2D-easy-v0 --n-envs 32 --iters 200 --minutes 30
 grab '"algo": "TD-MPC"' bench_assets/control/tdmpc_rbc2d_easy.json
 
-# 6. SAC with a real budget on the NaN-fixed path
-STEP_TIMEOUT=5400 step python -u scripts/train_sac_tpu.py \
-    --env-id RBC2D-easy-v0 --n-envs 64 --iters 400 --minutes 65
-grab '"algo": "SAC"' bench_assets/control/sac_rbc2d_easy.json
-STEP_TIMEOUT=2700 step python -u scripts/train_sac_tpu.py \
-    --env-id RBC2D-easy-v0 --n-envs 16 --iters 200 --minutes 30 --marl
-grab '"algo": "MA-SAC"' bench_assets/control/masac_rbc2d_easy.json
-
-# 7. statistics repool audit over the shipped bundle (after the repair)
-STEP_TIMEOUT=1800 step python -u scripts/repool_statistics.py --apply
-
-# 8. TCFSmall Re550 dataset + validation (covers bottom+both hard ids)
-step $GEN TCFSmall3D-bottom-hard-v0 --lanes 2 --n-domains 2 \
-    --episode-steps 60 --bundle
-STEP_TIMEOUT=9000 step $V TCFSmall3D-bottom-hard-v0
+# 7. TCFSmall Re550 dataset + validation (Re550 has never been stepped in
+#    any artifact -- VERDICT missing #2; covers bottom+both hard ids)
+STEP_TIMEOUT=5400 step $GEN TCFSmall3D-bottom-hard-v0 --lanes 2 \
+    --n-domains 2 --episode-steps 60 --bundle
+STEP_TIMEOUT=5400 step $V TCFSmall3D-bottom-hard-v0
 grab '"env_id": "TCFSmall3D-bottom-hard-v0"' \
     bench_assets/validation/tcf_re550.json
+
+# 8. SAC with a real budget on the NaN-fixed path
+STEP_TIMEOUT=3600 step python -u scripts/train_sac_tpu.py \
+    --env-id RBC2D-easy-v0 --n-envs 64 --iters 400 --minutes 45
+grab '"algo": "SAC"' bench_assets/control/sac_rbc2d_easy.json
+STEP_TIMEOUT=2100 step python -u scripts/train_sac_tpu.py \
+    --env-id RBC2D-easy-v0 --n-envs 16 --iters 200 --minutes 25 --marl
+grab '"algo": "MA-SAC"' bench_assets/control/masac_rbc2d_easy.json
 
 # 9. dataset long tail, cheapest-first, as wall-clock allows
 step $GEN CylinderJet3D-medium-v0 --lanes 2 --n-domains 2 \
