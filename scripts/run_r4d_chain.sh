@@ -92,13 +92,21 @@ fi
 # 2. advisor HIGH (round 2!): Airfoil2D-medium episode repair -- repairs
 #    now run first inside the generator, so the contamination fix lands
 #    within the cap even though the fresh-episode tail exceeds it.
-STEP_TIMEOUT=7200 FLUIDGYM_MERGED_XLA_SOLVES=${MERGED_ENV:+auto} step \
+STEP_TIMEOUT=5400 FLUIDGYM_MERGED_XLA_SOLVES=${MERGED_ENV:+auto} step \
     $GEN Airfoil2D-medium-v0 --lanes 4 \
     --episode-steps 100 --transient-steps 999999 --transient-split 4 --bundle
 
 # 3. statistics repool audit over the shipped bundle (right after the
 #    repair so the decontaminated zero-point ships no matter what follows)
 STEP_TIMEOUT=1200 step python -u scripts/repool_statistics.py --apply
+
+# 3b. flagship control win, take 2: PPO converged to do-nothing (artifact
+#     kept), so search the known-good controller family directly --
+#     base-bleed + harmonic jet forcing via antithetic ES (~35 min)
+STEP_TIMEOUT=3300 step python -u scripts/train_es_tpu.py \
+    --env-id CylinderJet2D-easy-v0 --pop 32 --gens 8 --minutes 40
+grab '"algo": "ES", "env_id": "CylinderJet2D-easy-v0"' \
+    bench_assets/control/es_cylinder_easy.json
 
 # 4. TCF Re330 time-averaged validation (replaces the snapshot-ensemble
 #    method-calibration argument with a measurement)
