@@ -394,6 +394,13 @@ def run_repairs(env, repairs, episode_steps: int, lanes: int,
                 for _ in range(extra):
                     bcarry, *_ = step_fn(bcarry, bact)
                 save_extended_snapshots(bcarry, failing_lanes, extra)
+        # Persist the best trace so far for still-failing episodes: a chain
+        # step timeout mid-repair must never leave the OLD contaminated CSV
+        # on disk when a better current-code trace exists (all_rows pooling
+        # still happens exactly once, at exhaustion below).
+        for key in still_failing:
+            data_utils.save_uncontrolled_episode(
+                env.initial_domain_id, key[0].value, key[1], best[key][1])
         active = still_failing
 
     for mode, idx in active:  # exhausted attempts: ship the best trace
