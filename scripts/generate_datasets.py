@@ -266,6 +266,25 @@ def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
         log("saved domain_statistics.json (screened pooling)")
 
 
+def _march(step_fn, bcarry, bact, n_steps: int, label: str):
+    """Advance ``n_steps`` zero-action steps, logging on a wall-clock
+    cadence: a 200-step extension is ~40 min of otherwise total log
+    silence on the airfoil, which outlives the heartbeat's 30-min grace
+    and gets the step watchdog-killed right before the extended
+    snapshots would have been saved (observed live, round 4)."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    t_log = t0
+    for i in range(n_steps):
+        bcarry, *_ = step_fn(bcarry, bact)
+        if _time.perf_counter() - t_log > 240:
+            log(f"  {label}: t={i + 1}/{n_steps} "
+                f"({(i + 1) / (_time.perf_counter() - t0):.2f} steps/s)")
+            t_log = _time.perf_counter()
+    return bcarry
+
+
 def run_repairs(env, repairs, episode_steps: int, lanes: int,
                 step_fn=None, compiled_width=None) -> list[dict]:
     """Lane-parallel repair protocol (mirrors
@@ -349,8 +368,7 @@ def run_repairs(env, repairs, episode_steps: int, lanes: int,
         bcarry, bact = batch_carries(padded)
         log(f"pre-extending burn-in for {len(chunk)} fresh-failure "
             f"snapshots ({extra} steps)")
-        for _ in range(extra):
-            bcarry, *_ = step_fn(bcarry, bact)
+        bcarry = _march(step_fn, bcarry, bact, extra, "pre-extension")
         save_extended_snapshots(
             bcarry, [(lane, m, i) for lane, (m, i) in enumerate(chunk)],
             extra)
@@ -391,8 +409,8 @@ def run_repairs(env, repairs, episode_steps: int, lanes: int,
                 # extend the burn-in from the post-episode state (the episode
                 # above already advanced it; keep marching so the extension
                 # builds on it), then re-save the failing lanes' snapshots
-                for _ in range(extra):
-                    bcarry, *_ = step_fn(bcarry, bact)
+                bcarry = _march(step_fn, bcarry, bact, extra,
+                                f"extension a{attempt}")
                 save_extended_snapshots(bcarry, failing_lanes, extra)
         # Persist the best trace so far for still-failing episodes: a chain
         # step timeout mid-repair must never leave the OLD contaminated CSV
