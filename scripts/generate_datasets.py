@@ -172,7 +172,8 @@ def _roll_episode(step_fn, bcarry, bact, episode_steps: int, n_lanes: int,
     return rows_per_lane, bcarry
 
 
-def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
+def run_stage2(env, n_domains: int, episode_steps: int, lanes: int,
+               checkpoint=None) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -226,6 +227,11 @@ def run_stage2(env, n_domains: int, episode_steps: int, lanes: int) -> None:
         if all_rows:
             env._save_domain_statistics(env._pool_statistics_rows(all_rows))
             log("saved domain_statistics.json (interim post-repair pooling)")
+        if checkpoint is not None:
+            # ship the repaired episodes + interim statistics NOW: bundling
+            # only at the end of main() lost the repair to step timeouts in
+            # rounds 2-4 (the fresh-episode tail exceeded the cap)
+            checkpoint()
 
     for c0 in range(0, len(todo), lanes):
         chunk = todo[c0:c0 + lanes]
@@ -503,7 +509,8 @@ def main() -> None:
     run_stage1(env, jobs, args.lanes, transient_env=transient_env,
                transient_steps=args.transient_steps,
                transient_split=args.transient_split)
-    run_stage2(env, args.n_domains, episode_steps, args.lanes)
+    run_stage2(env, args.n_domains, episode_steps, args.lanes,
+               checkpoint=(lambda: bundle(env)) if args.bundle else None)
     if args.bundle:
         bundle(env)
     log("done")
