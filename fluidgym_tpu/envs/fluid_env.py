@@ -510,6 +510,16 @@ class FluidEnv(ABC, FluidEnvLike):
         self._cfg = new_cfg
         self._additional_initialization()
 
+        if getattr(self._cfg, "pressure_coarse_tile", 0):
+            # host-side, once per (topo, tile): the Galerkin aggregation
+            # coarse matrix for the 2-level pressure preconditioner, baked
+            # into the jitted step as constants (solver/piso.py:
+            # ensure_agg_coarse_cache; stale-robust, never rebuilt)
+            from fluidgym_tpu.solver import piso as _piso
+
+            _piso.ensure_agg_coarse_cache(
+                self._state, self._geoms, self._topo, self._cfg)
+
         if randomize:
             self._randomize_domain()
 

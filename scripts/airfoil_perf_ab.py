@@ -38,7 +38,7 @@ BATCH = 8
 
 
 def measure(env_id: str, steps: int, *, refine=0, inner=3e-2,
-            merged=None) -> dict:
+            merged=None, agg=0) -> dict:
     if merged is not None:
         cg_pallas_mb.set_fused_cg_mb(merged)
     env = fluidgym_tpu.make(env_id, load_initial_domain=True,
@@ -49,6 +49,16 @@ def measure(env_id: str, steps: int, *, refine=0, inner=3e-2,
     if refine:
         env._cfg = dreplace(env._cfg, pressure_refine_restarts=refine,
                             pressure_refine_inner_tol=inner)
+    if agg:
+        # aggregation 2-level pressure preconditioner (piso.py:
+        # pressure_coarse_tile); E built host-side once, baked as constants
+        from fluidgym_tpu.solver import piso
+
+        env._cfg = dreplace(env._cfg, pressure_coarse_tile=agg,
+                            pressure_coarse_precondition=True)
+        env._jit_cache.clear()
+        piso.ensure_agg_coarse_cache(env._state, env._geoms, env._topo,
+                                     env._cfg)
     carry = env._pure_carry()
     fn = jax.jit(jax.vmap(env._pure_step))
     bcarry = jax.tree.map(
@@ -57,7 +67,7 @@ def measure(env_id: str, steps: int, *, refine=0, inner=3e-2,
 
     c, _, _, info = fn(bcarry, a0)   # warm-up + compile
     jax.block_until_ready(jax.tree.leaves(c)[0])
-    conv, resid, drag, lift = [], [], [], []
+    conv, resid, drag, lift, iters = [], [], [], [], []
     t0 = time.perf_counter()
     for _ in range(steps):
         c, _, _, info = fn(c, a0)
@@ -65,6 +75,7 @@ def measure(env_id: str, steps: int, *, refine=0, inner=3e-2,
         resid.append(np.asarray(info.get("pressure_residual", np.nan)))
         drag.append(np.asarray(info["drag"]))
         lift.append(np.asarray(info["lift"]))
+        iters.append(np.asarray(info.get("pressure_iterations", 0)))
     jax.block_until_ready(jax.tree.leaves(c)[0])
     dt = (time.perf_counter() - t0) / steps
     if merged is not None:
@@ -73,6 +84,7 @@ def measure(env_id: str, steps: int, *, refine=0, inner=3e-2,
         "s_per_step": round(dt, 4),
         "env_steps_per_sec": round(BATCH / dt, 3),
         "converged_frac": round(float(np.mean(conv)), 4),
+        "pressure_iters_per_step": round(float(np.mean(iters)), 1),
         "worst_residual": float(np.max(resid)),
         "mean_drag": round(float(np.mean(drag)), 5),
         "mean_lift": round(float(np.mean(lift)), 5),
@@ -93,6 +105,9 @@ def main():
         "refine3": dict(refine=3, inner=1e-2),
         "xla":     dict(merged=False),
         "refine_xla": dict(refine=2, inner=3e-2, merged=False),
+        "agg8":    dict(agg=8),
+        "agg16":   dict(agg=16),
+        "agg8_refine": dict(agg=8, refine=2, inner=3e-2),
     }
     out = {}
     for name in args.variants:
