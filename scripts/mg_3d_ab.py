@@ -29,12 +29,18 @@ WARM_STEPS = 6
 MEASURE_STEPS = 10
 
 
-def run(env_id: str, use_mg: bool, extra_kw=None):
+def run(env_id: str, variant: str, extra_kw=None):
+    """variant: 'jacobi' | 'mg' | 'aggN' (aggregation coarse, tile N)."""
     env = fluidgym_tpu.make(env_id, **KW, **(extra_kw or {}))
-    if use_mg:
-        orig = env._get_simulation
+    orig = env._get_simulation
+    if variant == "mg":
         env._get_simulation = lambda: dataclasses.replace(
             orig(), pressure_multigrid=True)
+    elif variant.startswith("agg"):
+        tile = int(variant[3:])
+        env._get_simulation = lambda: dataclasses.replace(
+            orig(), pressure_coarse_tile=tile,
+            pressure_coarse_precondition=True)
     env.reset(seed=0)
     fn = jax.jit(env._pure_step)
     carry = env._pure_carry()
@@ -75,10 +81,10 @@ if __name__ == "__main__":
             except Exception:
                 extra[k] = v
         out = {"env": spec}
-        for mg in (False, True):
-            key = "mg" if mg else "jacobi"
+        for key in (extra.pop("variants", None)
+                    or ["jacobi", "agg8", "agg16"]):
             try:
-                out[key] = run(env_id, mg, extra)
+                out[key] = run(env_id, key, extra)
             except Exception as e:
                 out[key] = f"ERROR: {str(e)[:200]}"
         print(json.dumps(out), flush=True)
