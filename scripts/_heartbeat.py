@@ -34,7 +34,12 @@ def start(grace_s: float = 1800.0, every_s: float = 240.0) -> None:
     """Start the daemon heartbeat thread (call once per process).
 
     Every ordinary ``print`` counts as progress (builtins.print is wrapped),
-    so callers only need ``touch()`` for progress that bypasses print."""
+    so callers only need ``touch()`` for progress that bypasses print.
+    ``FLUIDGYM_HB_GRACE`` (seconds) overrides ``grace_s`` — cold-cache
+    sessions see >30 min first compiles on the big multi-block programs."""
+    import os
+
+    grace_s = float(os.environ.get("FLUIDGYM_HB_GRACE", grace_s))
 
     def printing(*args, **kwargs):
         touch()
