@@ -276,7 +276,8 @@ def main() -> None:
     }))
 
 
-_CHAIN_PID_FILES = ("/tmp/r4.pid", "/tmp/r3d.pid", "/tmp/tpu_step.pid")
+_CHAIN_PID_FILES = ("/tmp/r4.pid", "/tmp/r3d.pid", "/tmp/tpu_step.pid",
+                    "/tmp/repair.pid")
 
 
 def _yield_tpu_from_chain() -> bool:
