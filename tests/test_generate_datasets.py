@@ -176,3 +176,53 @@ def test_run_repairs_ships_best_attempt_when_all_fail(gen, tiny_env,
     want = [float(r["nusselt"]) for r in attempts[1]]  # fewest bad rows
     got = [float(r["nusselt"]) for r in rows]
     assert got == pytest.approx(want), "the best (attempt-1) trace must ship"
+
+
+def test_stage2_checkpoint_fires_after_repairs(gen, tiny_env, monkeypatch):
+    """The checkpoint callback (main() passes bundle()) must run right
+    after the post-repair interim pooling: bundling only at the end of
+    main() lost the repair to chain step timeouts in rounds 2-4."""
+    env = tiny_env
+    jobs = gen.build_jobs(env, n_domains=1, burnin_scale=1.0)
+    gen.run_stage1(env, jobs, lanes=3)
+    bad = [{"nusselt": 1.0, "reward": 0.0, "pressure_converged": 0.0}
+           for _ in range(6)]
+    data_utils.save_uncontrolled_episode(
+        env.initial_domain_id, "train", 0, bad)
+
+    fired = []
+    gen.run_stage2(env, n_domains=1, episode_steps=6, lanes=3,
+                   checkpoint=lambda: fired.append(True))
+    assert fired, "checkpoint must fire when repairs ran"
+
+    # ... and must NOT fire when there is nothing to repair
+    fired.clear()
+    gen.run_stage2(env, n_domains=1, episode_steps=6, lanes=3,
+                   checkpoint=lambda: fired.append(True))
+    assert not fired
+
+
+def test_repair_extra_env_var_overrides_extension(gen, tiny_env,
+                                                  monkeypatch):
+    """FLUIDGYM_REPAIR_EXTRA overrides the burn-in extension length (the
+    default initial_domain_steps//2 is ~45 min per attempt on the
+    airfoil-medium hardware rate)."""
+    env = tiny_env
+    monkeypatch.setenv("FLUIDGYM_REPAIR_EXTRA", "3")
+    seen = []
+    orig_march = gen._march
+
+    def spy_march(step_fn, bcarry, bact, n_steps, label):
+        seen.append(n_steps)
+        return orig_march(step_fn, bcarry, bact, n_steps, label)
+
+    monkeypatch.setattr(gen, "_march", spy_march)
+    jobs = gen.build_jobs(env, n_domains=1, burnin_scale=1.0)
+    gen.run_stage1(env, jobs, lanes=3)
+    bad = [{"nusselt": 1.0, "reward": 0.0, "pressure_converged": 0.0}
+           for _ in range(6)]
+    data_utils.save_uncontrolled_episode(
+        env.initial_domain_id, "train", 0, bad)
+    gen.run_repairs(env, [(list(MODE_SEEDS)[0], 0, bad)],
+                    episode_steps=6, lanes=3)
+    assert seen and all(n == 3 for n in seen), seen
