@@ -277,7 +277,7 @@ def main() -> None:
 
 
 _CHAIN_PID_FILES = ("/tmp/r4.pid", "/tmp/r3d.pid", "/tmp/tpu_step.pid",
-                    "/tmp/repair.pid")
+                    "/tmp/repair.pid", "/tmp/bench_warm.pid")
 
 
 def _yield_tpu_from_chain() -> bool:
