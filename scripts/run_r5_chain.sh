@@ -85,12 +85,14 @@ USER_DATA=$(python -c "from fluidgym_tpu.config import config; print(config.data
 mkdir -p "$USER_DATA/initial_domains"
 cp -rn fluidgym_tpu/data/initial_domains/. "$USER_DATA/initial_domains/" 2>>"$LOG"
 
-# 0b. aggregation-coarse hardware A/B (decides the airfoil solver path
-#     for every airfoil step below; ~25-55 min of which most is the
-#     one-off airfoil compile that later steps reuse)
-STEP_TIMEOUT=5400 step python -u scripts/airfoil_perf_ab.py \
-    --env-id Airfoil2D-easy-v0 --steps 6 --variants base agg8
-grab '"agg8"' bench_assets/control/airfoil_agg_ab.json
+# 0b. aggregation-coarse A/B on the 3D stall-bound tiers (the 2D
+#     warm-started airfoil A/B was a recorded 0.79x negative in round 4;
+#     the remaining agg targets are cold/stall-bound solves: CylJet3D
+#     burns 1596 Jacobi iters/step where MG cut 5.25x but lost on
+#     per-iteration cost — agg's per-iteration tax is far smaller)
+STEP_TIMEOUT=5400 step python -u scripts/mg_3d_ab.py \
+    "CylinderJet3D-easy-v0,variants=['jacobi','agg8','agg16']"
+grab '"agg8"' bench_assets/control/agg_3d_ab.json
 
 # 1. Airfoil2D-medium regeneration (if the blend gate shipped) or repair
 STEP_TIMEOUT=10800 step $GEN Airfoil2D-medium-v0 --n-domains 2 --lanes 6 \
