@@ -511,14 +511,20 @@ class FluidEnv(ABC, FluidEnvLike):
         self._additional_initialization()
 
         if getattr(self._cfg, "pressure_coarse_tile", 0):
-            # host-side, once per (topo, tile): the Galerkin aggregation
+            # host-side, once per operator key: the Galerkin aggregation
             # coarse matrix for the 2-level pressure preconditioner, baked
             # into the jitted step as constants (solver/piso.py:
-            # ensure_agg_coarse_cache; stale-robust, never rebuilt)
+            # ensure_agg_coarse_cache).  If the call REPLACED an existing
+            # entry (viscosity changed, or a caller forced a rebuild), any
+            # step traced earlier baked the old E — drop the compiled steps
+            # so the next trace picks up the fresh constants.
             from fluidgym_tpu.solver import piso as _piso
 
+            gen0 = _piso.agg_cache_generation()
             _piso.ensure_agg_coarse_cache(
                 self._state, self._geoms, self._topo, self._cfg)
+            if _piso.agg_cache_generation() != gen0:
+                self._jit_cache.clear()
 
         if randomize:
             self._randomize_domain()

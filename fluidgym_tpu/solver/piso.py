@@ -232,9 +232,11 @@ class SimConfig:
     # +agg16 1010 (2.28x), +agg8 767 (3.00x); an E built from a 10%%-
     # perturbed operator solves in 768, so the Galerkin coarse matrix is
     # built ONCE per env construction (ensure_agg_coarse_cache, host-side
-    # eager, baked into the jitted step as constants) and never rebuilt.
-    # Requires `pressure_coarse_precondition=True` to take effect; without
-    # a populated cache the solver falls back to the constant+linear space.
+    # eager, baked into the jitted step as constants) and only rebuilt when
+    # the operator-defining config/viscosity changes.  With a populated
+    # cache the aggregation space replaces the constant+linear space for
+    # BOTH `pressure_coarse_precondition` and the `pressure_deflation` x0
+    # space; without one the solver falls back to constant+linear.
     pressure_coarse_tile: int = 0
     # Geometric multigrid V-cycle preconditioner for the pressure CG
     # (solver/multigrid.py): Galerkin-coarsened stencil hierarchy with
@@ -886,9 +888,30 @@ def _make_coarse_solver(p_ops, topo: DomainTopo, dtype):
     return coarse
 
 
-#: (topo, tile) -> dict(d=…, En_inv=…, specs=…) built by
-#: ``ensure_agg_coarse_cache`` (host-side, once per env construction)
+#: operator key -> dict(d=…, En_inv=…, specs=…, nu=…) built by
+#: ``ensure_agg_coarse_cache`` (host-side, once per env construction).
+#: Keyed by every STATIC field that defines the pressure operator —
+#: (topo, tile, dt, upwind blend, non_orthogonal) — so two envs sharing a
+#: mesh topology but differing in time step / advection scheme never share
+#: one Galerkin matrix; the (dynamic) viscosity is stored in the entry and
+#: a materially different value triggers a rebuild (see
+#: ``ensure_agg_coarse_cache``).  FIFO-capped so long-lived processes
+#: constructing many distinct envs stay bounded.
 _AGG_COARSE_CACHE: dict = {}
+_AGG_COARSE_CACHE_MAX = 8
+#: bumped whenever an EXISTING entry is replaced (force= or viscosity
+#: mismatch); FluidEnv compares it around ``ensure_agg_coarse_cache`` to
+#: know a previously traced step may hold stale baked-in E constants
+_AGG_COARSE_GENERATION = 0
+
+
+def agg_cache_generation() -> int:
+    return _AGG_COARSE_GENERATION
+
+
+def _agg_cache_key(topo: DomainTopo, cfg: SimConfig):
+    return (topo, int(cfg.pressure_coarse_tile), float(cfg.dt),
+            float(cfg.advection_upwind_blend), bool(cfg.non_orthogonal))
 
 
 def _agg_tile_specs(topo: DomainTopo, tile: int):
@@ -962,12 +985,19 @@ def ensure_agg_coarse_cache(state, geoms, topo: DomainTopo, cfg: SimConfig,
     operator (scripts/airfoil_coarse_pc_probe.py) — so E is never rebuilt,
     which keeps the per-substep setup cost at exactly zero matvecs
     (vs. k matvecs per substep if built in-graph)."""
+    global _AGG_COARSE_GENERATION
     tile = int(cfg.pressure_coarse_tile)
     if tile <= 0:
         return
-    key = (topo, tile)
-    if key in _AGG_COARSE_CACHE and not force:
-        return
+    key = _agg_cache_key(topo, cfg)
+    nu = float(np.asarray(jax.device_get(state.viscosity)))
+    prev_entry = _AGG_COARSE_CACHE.get(key)
+    if prev_entry is not None and not force:
+        # same static operator key: only a materially different viscosity
+        # (e.g. another Reynolds tier reusing this topology) forces a
+        # rebuild — the preconditioner tolerates small coefficient drift
+        if abs(prev_entry["nu"] - nu) <= 1e-6 * max(abs(nu), 1e-30):
+            return
     specs, k = _agg_tile_specs(topo, tile)
     dtype = state.blocks[0].pressure.dtype
     p_ops = jax.tree.map(lax.stop_gradient,
@@ -999,24 +1029,35 @@ def ensure_agg_coarse_cache(state, geoms, topo: DomainTopo, cfg: SimConfig,
             for m in maps)
         rows = restrict_v(*apply_v(*cols))
         E[c0:c0 + len(js)] = np.asarray(jax.device_get(rows), np.float64)
+    # the assembly writes operator COLUMNS restrict(A W e_j) into E rows,
+    # which is only an identity for a symmetric pressure operator —
+    # symmetrize so a nonsymmetric variant degrades gracefully instead of
+    # silently transposing E (it also cleans float noise)
+    E = 0.5 * (E + E.T)
     # symmetrically normalize (tiles differ in size/coefficients by orders
     # of magnitude) and pseudo-invert; the global constant may lie in the
     # operator nullspace, which pinv's rcond handles
     d = 1.0 / np.sqrt(np.abs(np.diagonal(E)) + 1e-30)
     En_inv = np.linalg.pinv(E * d[:, None] * d[None, :], rcond=1e-7)
+    if prev_entry is not None:
+        _AGG_COARSE_GENERATION += 1  # replaced: traced steps may be stale
+    while len(_AGG_COARSE_CACHE) >= _AGG_COARSE_CACHE_MAX \
+            and key not in _AGG_COARSE_CACHE:
+        _AGG_COARSE_CACHE.pop(next(iter(_AGG_COARSE_CACHE)))
     _AGG_COARSE_CACHE[key] = {
         "d": jnp.asarray(d, dtype),
         "En_inv": jnp.asarray(En_inv, dtype),
         "specs": specs,
         "tile": tile,
+        "nu": nu,
     }
 
 
-def _agg_coarse_from_cache(topo: DomainTopo, tile: int):
+def _agg_coarse_from_cache(topo: DomainTopo, cfg: SimConfig):
     """Coarse-space solve ``r -> W E^+ W^T r`` from the cached aggregation
     matrices, or None when ``ensure_agg_coarse_cache`` has not run for this
-    (topo, tile) — callers then fall back to the constant+linear space."""
-    entry = _AGG_COARSE_CACHE.get((topo, int(tile)))
+    operator key — callers then fall back to the constant+linear space."""
+    entry = _AGG_COARSE_CACHE.get(_agg_cache_key(topo, cfg))
     if entry is None:
         return None
     d, En_inv = entry["d"], entry["En_inv"]
@@ -1251,7 +1292,7 @@ def piso_substep_info(
         setup_ops = (jax.tree.map(lax.stop_gradient, p_ops)
                      if cfg.differentiable else p_ops)
         if cfg.pressure_deflation or cfg.pressure_coarse_precondition:
-            coarse = (_agg_coarse_from_cache(topo, cfg.pressure_coarse_tile)
+            coarse = (_agg_coarse_from_cache(topo, cfg)
                       if cfg.pressure_coarse_tile else None)
             if coarse is None:
                 coarse = _make_coarse_solver(

@@ -326,8 +326,10 @@ def run_repairs(env, repairs, episode_steps: int, lanes: int,
     # FLUIDGYM_REPAIR_EXTRA overrides the burn-in extension length: at the
     # airfoil-medium hardware rate (~13 s per 6-lane step) the default 200
     # steps is ~45 min per attempt, which no chain window fits
-    extra = int(os.environ.get("FLUIDGYM_REPAIR_EXTRA", 0)) \
-        or max(1, env._initial_domain_steps // 2)
+    if "FLUIDGYM_REPAIR_EXTRA" in os.environ:
+        extra = max(0, int(os.environ["FLUIDGYM_REPAIR_EXTRA"]))
+    else:
+        extra = max(1, env._initial_domain_steps // 2)
     width = compiled_width or min(lanes, len(repairs))
     if step_fn is None:
         step_fn = jax.jit(jax.vmap(env._pure_step))

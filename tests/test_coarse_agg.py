@@ -64,7 +64,7 @@ def test_restriction_partitions_cells(sys_small):
 
 def test_agg_coarse_cuts_iterations_and_matches_solution(sys_small):
     env, cfg, p_ops = sys_small
-    coarse = piso._agg_coarse_from_cache(env._topo, TILE)
+    coarse = piso._agg_coarse_from_cache(env._topo, cfg)
     assert coarse is not None, "ensure_agg_coarse_cache must populate"
 
     rng = np.random.default_rng(1)
@@ -103,8 +103,28 @@ def test_agg_coarse_cuts_iterations_and_matches_solution(sys_small):
 
 
 def test_cache_miss_falls_back(sys_small):
-    env, *_ = sys_small
-    assert piso._agg_coarse_from_cache(env._topo, TILE + 1) is None
+    env, cfg, _ = sys_small
+    # different tile AND different dt both miss: the key carries every
+    # static operator-defining field (ADVICE r4 medium)
+    assert piso._agg_coarse_from_cache(
+        env._topo, replace(cfg, pressure_coarse_tile=TILE + 1)) is None
+    assert piso._agg_coarse_from_cache(
+        env._topo, replace(cfg, dt=cfg.dt * 0.5)) is None
+
+
+def test_cache_rebuild_on_viscosity_change(sys_small):
+    """Same operator key but a materially different viscosity must replace
+    the cached E (and bump the generation so envs drop stale traces)."""
+    env, cfg, _ = sys_small
+    gen0 = piso.agg_cache_generation()
+    nu0 = env._state.viscosity
+    state2 = replace(env._state, viscosity=nu0 * 2.0)
+    piso.ensure_agg_coarse_cache(state2, env._geoms, env._topo, cfg)
+    assert piso.agg_cache_generation() == gen0 + 1
+    entry = piso._AGG_COARSE_CACHE[piso._agg_cache_key(env._topo, cfg)]
+    assert abs(entry["nu"] - float(nu0) * 2.0) <= 1e-9
+    # restore for the other module-scoped tests
+    piso.ensure_agg_coarse_cache(env._state, env._geoms, env._topo, cfg)
 
 
 def test_env_step_with_agg_coarse_matches_plain(sys_small):
