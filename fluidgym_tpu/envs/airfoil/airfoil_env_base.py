@@ -223,6 +223,20 @@ class AirfoilEnvBase(WallForcesMixin, FluidEnv):
             # in _solve (gradients unchanged, fp64-FD-pinned)
             pressure_warm_start=True,
             pressure_deflation=True,
+            # Re >= 3000: the central face interpolation develops a growing
+            # advective instability on the C-grid (negative-drag bursts in
+            # the Re3000 episode record that WORSEN with burn-in — an
+            # underdeveloped-snapshot explanation is excluded; see
+            # docs/data.md and VALIDATION.md round 4/5).  Same remedy as
+            # the cylinder hard tier: gamma=0.3 upwind blend of the
+            # velocity advection matrix (scripts/airfoil_blend_probe.py:
+            # blend 0.0 reproduces the bursts from the bundled developed
+            # snapshot, blend 0.3 is clean).  Documented deviation: the
+            # reference is central-only with an fp64 solver fallback
+            # (reference cylinder_env_base.py:327) unavailable to an fp32
+            # TPU build.
+            advection_upwind_blend=0.3
+            if self._reynolds_number >= 3000 else 0.0,
         )
 
     def _additional_initialization(self) -> None:
