@@ -65,6 +65,12 @@ def main() -> int:
                          "agents-as-envs (MA-PPO)")
     ap.add_argument("--dev", action="store_true",
                     help="tiny CPU smoke-test configuration")
+    ap.add_argument("--init-log-std", type=float, default=-0.7,
+                    help="initial policy log-std; the cylinder retry uses "
+                         "-2.3 (sigma~0.1): the round-4 do-nothing optimum "
+                         "came from costly exploration noise")
+    ap.add_argument("--ent-coef", type=float, default=1e-3)
+    ap.add_argument("--lr", type=float, default=LR)
     args = ap.parse_args()
 
     kw = {}
@@ -92,7 +98,7 @@ def main() -> int:
             "w1": s(k1, obs_dim, HIDDEN), "b1": jnp.zeros(HIDDEN),
             "wp": s(k2, HIDDEN, act_dim, 0.01), "bp": jnp.zeros(act_dim),
             "wv": s(k3, HIDDEN, 1, 0.1), "bv": jnp.zeros(1),
-            "log_std": jnp.full((act_dim,), -0.7),
+            "log_std": jnp.full((act_dim,), args.init_log_std),
         }
 
     def forward(p, x):
@@ -114,7 +120,7 @@ def main() -> int:
     def value_of(p, x):
         return forward(p, x)[2]
 
-    opt = optax.adam(LR)
+    opt = optax.adam(args.lr)
 
     @jax.jit
     def ppo_update(p, opt_state, batch):
@@ -127,7 +133,7 @@ def main() -> int:
                               jnp.clip(ratio, 1 - CLIP, 1 + CLIP) * adv).mean()
             vloss = jnp.mean((v - batch["ret"]) ** 2)
             ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
-            return pg + 0.5 * vloss - 0.001 * ent, pg
+            return pg + 0.5 * vloss - args.ent_coef * ent, pg
         (_, pg), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
         # one bad minibatch (ratio overflow on an outlier transition) must
         # not NaN the params forever: skip non-finite gradients

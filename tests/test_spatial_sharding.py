@@ -9,6 +9,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+from jax.sharding import PartitionSpec as P
 
 import fluidgym_tpu
 from fluidgym_tpu.parallel.spatial import (
@@ -99,6 +100,54 @@ def test_batched_plus_spatial(env):
     assert np.isfinite(v).all()
     # every batch element sees the same input -> identical outputs
     np.testing.assert_allclose(v[0], v[-1], rtol=0, atol=1e-6)
+
+
+def test_cylinder_sharded_step_matches_unsharded():
+    """Multi-block topology under GSPMD (round-4 verdict #6): the cylinder
+    O-grid + wake at resolution 12, decomposed along the y array axis over
+    sp=4.  At this size the wake block (12, 257) and two O-segments (12, 21)
+    shard while the other two O-segments (21, 12) do not divide the mesh
+    axis and stay REPLICATED -- so CONNECTED inter-block seams cross
+    sharded<->sharded AND sharded<->replicated boundaries, exactly where a
+    halo-exchange partitioning bug would hide.  The sharded single_step
+    must equal the single-device program."""
+    assert len(jax.devices()) >= 8, "conftest forces 8 virtual devices"
+    env = fluidgym_tpu.make(
+        "CylinderJet2D-easy-v0", resolution=12,
+        load_initial_domain=False, load_domain_statistics=False,
+        randomize_initial_state=False, episode_length=3)
+    env.reset(seed=0)
+    geoms, topo, cfg, hooks = env._geoms, env._topo, env._cfg, env._hooks
+    state = env._state
+
+    ref = jax.jit(
+        lambda s: single_step(s, geoms, topo, cfg, hooks)
+    )(state)
+
+    mesh = make_mesh(n_sp=4)
+    sharded, specs = shard_domain_state(state, mesh, spatial_dim="y")
+    # mixed decomposition: wake + aligned O-segments sharded, rotated
+    # O-segments replicated
+    assert specs.blocks[4].pressure.spec[-2] == "sp"   # wake (12, 257)
+    assert specs.blocks[0].pressure.spec[-2] == "sp"   # O-seg (12, 21)
+    assert specs.blocks[1].pressure.spec == P()        # O-seg (21, 12)
+    step = jax.jit(
+        lambda s: single_step(s, geoms, topo, cfg, hooks),
+        in_shardings=(specs,),
+        out_shardings=specs,
+    )
+    out = step(sharded)
+
+    for b in range(len(topo.blocks)):
+        np.testing.assert_allclose(
+            np.asarray(out.blocks[b].velocity),
+            np.asarray(ref.blocks[b].velocity), rtol=0, atol=2e-5)
+        # cylinder pressure is O(100): allow fp32 reduction-ordering noise
+        # through the normalized-tolerance CG (atol 1e-3 is ~1e-5 of the
+        # field scale; a real halo/seam bug shows up as O(1) errors)
+        np.testing.assert_allclose(
+            np.asarray(out.blocks[b].pressure),
+            np.asarray(ref.blocks[b].pressure), rtol=1e-4, atol=1e-3)
 
 
 def test_make_pod_mesh_single_process_matches_make_mesh():
