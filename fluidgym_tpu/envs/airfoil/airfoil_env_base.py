@@ -237,6 +237,17 @@ class AirfoilEnvBase(WallForcesMixin, FluidEnv):
             # TPU build.
             advection_upwind_blend=0.3
             if self._reynolds_number >= 3000 else 0.0,
+            # The gamma=0.3 operator stalls plain Jacobi-PCG an order above
+            # the 1e-7 tolerance (res ~1e-6, iterations exploding to 250k a
+            # step); the aggregation coarse space restores FULL convergence
+            # at ~2x the throughput (on-chip A/B, VALIDATION.md round 5:
+            # plain conv 0% / 0.24 steps/s vs agg8 conv 100% / 0.45 and
+            # rising).  Gated with the blend: on the central-scheme tiers
+            # the developed warm-started solves already converge and agg8
+            # measured 0.79x there (round 4).
+            **({"pressure_coarse_tile": 8,
+                "pressure_coarse_precondition": True}
+               if self._reynolds_number >= 3000 else {}),
         )
 
     def _additional_initialization(self) -> None:
