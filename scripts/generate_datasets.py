@@ -111,10 +111,43 @@ def run_stage1(env, jobs, lanes: int, transient_env=None,
         if step_fn is None:
             step_fn = jax.jit(jax.vmap(env._pure_step))
         horizon = max(ev[-1][0] for ev in events)
-        log(f"  chunk {c0 // lanes}: {len(chunk)} lanes, horizon {horizon}")
+        # Mid-burn-in checkpointing (FLUIDGYM_BURNIN_CKPT=N steps, 0=off):
+        # the silent axon-tunnel wedge can freeze a client mid-march with no
+        # error, and the chain watchdog then loses the whole chunk.  Host
+        # states pickle in ~seconds; a killed step relaunches and resumes
+        # from the last checkpoint instead of t=0.
+        ckpt_every = int(os.environ.get("FLUIDGYM_BURNIN_CKPT", "0") or 0)
+        ckpt_path = None
+        t0 = 1
+        if ckpt_every > 0:
+            import pickle
+
+            from fluidgym_tpu.utils import data_utils
+            root = data_utils.initial_domain_dir(env.initial_domain_id,
+                                                 write=True)
+            root.mkdir(parents=True, exist_ok=True)
+            ckpt_path = root / f"_burnin_ckpt_{c0 // lanes}.pkl"
+            job_key = [(m.value, i) for m, i, *_ in chunk]
+            if ckpt_path.exists():
+                try:
+                    saved = pickle.loads(ckpt_path.read_bytes())
+                except Exception:
+                    saved = None
+                if saved and saved["jobs"] == job_key \
+                        and saved["horizon"] == horizon:
+                    bcarry = jax.tree.map(
+                        lambda *xs: jnp.stack(xs, axis=0), *saved["carries"])
+                    t0 = saved["t"] + 1
+                    for ev in events:  # snapshots before the ckpt are saved
+                        while ev and ev[0][0] <= saved["t"]:
+                            ev.pop(0)
+                    log(f"  chunk {c0 // lanes}: RESUMED from burn-in "
+                        f"checkpoint at t={saved['t']}")
+        log(f"  chunk {c0 // lanes}: {len(chunk)} lanes, horizon {horizon}"
+            + (f" (from t={t0})" if t0 > 1 else ""))
         t_wall = time.perf_counter()
         t_last_log = t_wall
-        for t in range(1, horizon + 1):
+        for t in range(t0, horizon + 1):
             if transient_fn is not None and t <= transient_steps:
                 for _ in range(transient_split):
                     bcarry, *_ = transient_fn(bcarry, bact)
@@ -139,9 +172,21 @@ def run_stage1(env, jobs, lanes: int, transient_env=None,
                     log(f"    saved {mode.value}_{idx:02d} at t={t}")
             if t % 200 == 0 or time.perf_counter() - t_last_log > 240:
                 jax.block_until_ready(jax.tree.leaves(bcarry)[0])
-                rate = t / (time.perf_counter() - t_wall)
+                rate = (t - t0 + 1) / (time.perf_counter() - t_wall)
                 log(f"    t={t}/{horizon} ({rate:.2f} lockstep steps/s)")
                 t_last_log = time.perf_counter()
+            if ckpt_path is not None and t % ckpt_every == 0 and t < horizon:
+                import pickle
+                host = jax.device_get(bcarry)
+                lane_carries = [jax.tree.map(lambda a: a[i], host)
+                                for i in range(len(chunk))]
+                tmp = ckpt_path.with_suffix(".tmp")
+                tmp.write_bytes(pickle.dumps({
+                    "jobs": [(m.value, i) for m, i, *_ in chunk],
+                    "horizon": horizon, "t": t, "carries": lane_carries}))
+                tmp.replace(ckpt_path)
+        if ckpt_path is not None:
+            ckpt_path.unlink(missing_ok=True)
 
 
 def _roll_episode(step_fn, bcarry, bact, episode_steps: int, n_lanes: int,
