@@ -339,6 +339,36 @@ class TCF3DBottomEnv(FluidEnv):
         mean_u = jnp.mean(blk.velocity[0], axis=(0, 2))
         return nu * mean_u[0] / d_y[0], nu * mean_u[-1] / d_y[1]
 
+    def _episode_physics_violations(self, rows: list[dict]) -> list[str]:
+        """Relaminarization screen (round-5 finding): three bundled Re180
+        snapshots had DECAYED to near-laminar states (v'/u_tau < 0.01,
+        wall stress at ~0.4x the nominal u_tau^2) during their burn-in —
+        the minimal-box Re_tau=180 channel laminarizes intermittently and
+        a decayed state never recovers under deterministic replay.  A
+        channel episode whose mean wall stress sits below 55% of nominal
+        is not turbulent channel flow (the coarse-64^3 turbulent band
+        realizes 0.6-0.9x nominal; laminarized states 0.35-0.47x)."""
+        out = []
+        tb = np.asarray([float(r["wall_stress_bottom"]) for r in rows
+                         if "wall_stress_bottom" in r])
+        if tb.size:
+            nominal = float(self._u_wall) ** 2
+            ratio = float(tb.mean()) / nominal
+            if ratio < 0.55:
+                out.append(
+                    f"wall stress {ratio:.2f}x nominal u_tau^2 — "
+                    f"relaminarized (turbulent band is 0.6-0.9x at 64^3)")
+        return out
+
+    def snapshot_turbulence_ratio(self, state: DomainState | None = None
+                                  ) -> float:
+        """``v'_rms / u_tau`` of (by default) the current state — the
+        cheap relaminarization indicator used when saving burn-in
+        snapshots (healthy developed channels measure 0.3-0.65 here; the
+        decayed round-5 Re180 lanes measured <0.01)."""
+        blk = (state or self._state).blocks[0]
+        return float(jnp.std(blk.velocity[1])) / float(self._u_wall)
+
     def _pure_global_obs(self, state: DomainState, y_idx: int | None = None):
         if y_idx is None:
             y_idx = self._y_obs_bottom_idx

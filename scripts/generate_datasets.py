@@ -168,8 +168,17 @@ def run_stage1(env, jobs, lanes: int, transient_env=None,
                             f"(burn-in diverged)")
                         continue
                     env._set_pure_carry(lane_carry)
+                    note = ""
+                    if hasattr(env, "snapshot_turbulence_ratio"):
+                        ratio = env.snapshot_turbulence_ratio()
+                        note = f" (v'/u_tau {ratio:.3f})"
+                        if ratio < 0.15:
+                            log(f"    !!! {mode.value}_{idx:02d} looks "
+                                f"RELAMINARIZED (v'/u_tau {ratio:.3f}; "
+                                f"healthy 0.3-0.65) — saving anyway, but "
+                                f"the episode screen will flag it")
                     env._save_initial_domain(mode, idx)
-                    log(f"    saved {mode.value}_{idx:02d} at t={t}")
+                    log(f"    saved {mode.value}_{idx:02d} at t={t}{note}")
             if t % 200 == 0 or time.perf_counter() - t_last_log > 240:
                 jax.block_until_ready(jax.tree.leaves(bcarry)[0])
                 rate = (t - t0 + 1) / (time.perf_counter() - t_wall)

@@ -45,9 +45,22 @@ def log(msg: str) -> None:
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def run_episode(env, steps: int, gain: float, label: str):
+def run_episode(env, steps: int, gain: float, label: str, idx: int = 0):
     """March one episode; gain=0 -> uncontrolled.  Returns per-step rows."""
     obs, _ = env.reset(seed=7)
+    if idx:
+        # explicit snapshot choice: idx 0 of the Re180 dataset is a
+        # relaminarized lane (VALIDATION round 5) on which opposition is
+        # vacuously null — drive a turbulent snapshot instead
+        from fluidgym_tpu.envs.fluid_env import MODE_SEEDS
+
+        env.load_initial_domain(env.mode, idx)
+        env.seed(MODE_SEEDS[env.mode] + idx)
+        env._apply_action(env._zero_action)
+        obs = env._get_global_obs()
+    if hasattr(env, "snapshot_turbulence_ratio"):
+        log(f"  {label}: snapshot idx {idx} v'/u_tau = "
+            f"{env.snapshot_turbulence_ratio():.3f}")
     rows = []
     a_shape = env.action_space.shape  # (n_agents, 1)
     nx, nz = env._n_actors_x, env._n_actors_z
@@ -86,6 +99,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--settle", type=int, default=50)
     ap.add_argument("--gains", type=float, nargs="*", default=[1.0])
+    ap.add_argument("--idx", type=int, default=1,
+                    help="snapshot index (0 is a relaminarized lane in the "
+                         "bundled Re180 set; 1/2 are turbulent)")
     ap.add_argument("--out", default="bench_assets/control/opposition_tcf.json")
     args = ap.parse_args()
 
@@ -105,16 +121,17 @@ def main() -> None:
 
     results = {"env_id": args.env_id, "steps": args.steps,
                "settle": args.settle, "tau_ref": float(env.tau_ref),
+               "snapshot_idx": args.idx,
                "controller": "opposition (Choi et al. 1994), v_wall = "
                              "-gain*uy'(y+=15), capped at u_tau"}
-    rows_un = run_episode(env, args.steps, 0.0, "uncontrolled")
+    rows_un = run_episode(env, args.steps, 0.0, "uncontrolled", idx=args.idx)
     m, s = window_mean(rows_un, "wall_stress_bottom")
     results["uncontrolled"] = {"tau_bottom_mean": m, "tau_bottom_std": s}
     log(f"uncontrolled tau_bottom={m:.6g} +- {s:.2g}")
 
     best = None
     for gain in args.gains:
-        rows_op = run_episode(env, args.steps, gain, f"opposition g={gain}")
+        rows_op = run_episode(env, args.steps, gain, f"opposition g={gain}", idx=args.idx)
         mo, so = window_mean(rows_op, "wall_stress_bottom")
         red = 100.0 * (1.0 - mo / m)
         log(f"gain={gain}: tau_bottom={mo:.6g} +- {so:.2g} "
@@ -127,7 +144,7 @@ def main() -> None:
         if best is None or red > best[0]:
             best = (red, gain, rows_op)
         try:
-            env.save_opposition_control_episode(0, EnvMode.TEST, rows_op)
+            env.save_opposition_control_episode(args.idx, EnvMode.TEST, rows_op)
         except Exception as e:  # archival must not kill the result
             log(f"archival failed: {e}")
 

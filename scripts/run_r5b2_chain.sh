@@ -43,7 +43,7 @@ step() {
       size=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
       if [ "$size" = "$last" ]; then quiet=$((quiet + 60)); else quiet=0; fi
       last=$size
-      if [ "$quiet" -ge 1500 ]; then
+      if [ "$quiet" -ge 450 ]; then
         echo "!!! STALL WATCHDOG: no log output for ${quiet}s, killing step" >> "$LOG"
         kids=$(ps -o pid= --ppid "$pid" 2>/dev/null)
         kill "$pid" $kids 2>/dev/null
