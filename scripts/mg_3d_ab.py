@@ -16,6 +16,11 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import _heartbeat  # noqa: E402
+
+_heartbeat.start()
 
 import jax
 import jax.numpy as jnp
