@@ -24,6 +24,12 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+sys.path.insert(0, str(REPO / 'scripts'))
+
+import _heartbeat  # noqa: E402
+
+_heartbeat.start()
+
 import numpy as np
 
 VARIANTS = {
