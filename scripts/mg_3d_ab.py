@@ -77,7 +77,10 @@ if __name__ == "__main__":
     ids = sys.argv[1:] or ["CylinderJet3D-easy-v0", "RBC3D-easy-v0",
                            "CylinderJet2D-easy-v0,resolution=56"]
     for spec in ids:
-        env_id, *kw_items = spec.split(",")
+        # ";"-separated so list-valued kwargs (variants=['a','b']) survive;
+        # "," kept for backward compatibility with scalar-only specs
+        sep = ";" if ";" in spec else ","
+        env_id, *kw_items = spec.split(sep)
         extra = {}
         for item in kw_items:
             k, _, v = item.partition("=")

@@ -23,7 +23,7 @@ echo $$ > /tmp/r4.pid
 mkdir -p bench_assets/control bench_assets/validation
 
 $R 4500 "$LOG" python -u scripts/mg_3d_ab.py \
-    "CylinderJet3D-easy-v0,variants=['jacobi','agg8']"
+    "CylinderJet3D-easy-v0;variants=['jacobi','agg8']"
 grep -h '"agg8"' "$LOG" | tail -1 > bench_assets/control/agg_3d_ab.json
 
 $R 7200 "$LOG" python -u scripts/generate_datasets.py \
