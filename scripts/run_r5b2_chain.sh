@@ -66,16 +66,16 @@ step 9000 $GEN Airfoil3D-medium-v0 --lanes 1 --n-domains 2 \
     --episode-steps 40 --transient-steps 999999 --transient-split 4 --bundle
 step 9000 $GEN Airfoil3D-hard-v0 --lanes 1 --n-domains 1 \
     --episode-steps 40 --transient-steps 999999 --transient-split 8 --bundle
-step 10800 $GEN TCFLarge3D-bottom-medium-v0 --lanes 1 \
-    --n-domains 1 --episode-steps 30 --bundle
-step 10800 $GEN TCFLarge3D-bottom-hard-v0 --lanes 1 \
-    --n-domains 1 --episode-steps 30 --bundle
-
 # cylinder RL retry with the round-4 diagnosis applied (VERDICT #5)
 step 2700 python -u scripts/train_ppo_tpu.py \
     --env-id CylinderJet2D-easy-v0 --n-envs 32 --iters 600 --minutes 35 \
     --init-log-std -2.3 --ent-coef 0.0
 grab '"algo": "PPO"' bench_assets/control/ppo_cylinder_retry.json
+
+step 10800 $GEN TCFLarge3D-bottom-medium-v0 --lanes 1 \
+    --n-domains 1 --episode-steps 30 --bundle
+step 10800 $GEN TCFLarge3D-bottom-hard-v0 --lanes 1 \
+    --n-domains 1 --episode-steps 30 --bundle
 
 # hard-tier blend bias bound (VERDICT #8)
 step 4500 python -u scripts/hard_stability_probe.py \
