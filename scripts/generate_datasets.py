@@ -179,7 +179,12 @@ def run_stage1(env, jobs, lanes: int, transient_env=None,
                                 f"the episode screen will flag it")
                     env._save_initial_domain(mode, idx)
                     log(f"    saved {mode.value}_{idx:02d} at t={t}{note}")
-            if t % 200 == 0 or time.perf_counter() - t_last_log > 240:
+            # block every 50 steps: async dispatch makes the wall-clock
+            # branch useless (the loop queues hundreds of steps in seconds
+            # then sits in ONE long block_until_ready, during which this
+            # client prints nothing — at 3D rates the 200-step cadence
+            # races the chain's silence watchdog)
+            if t % 50 == 0 or time.perf_counter() - t_last_log > 240:
                 jax.block_until_ready(jax.tree.leaves(bcarry)[0])
                 rate = (t - t0 + 1) / (time.perf_counter() - t_wall)
                 log(f"    t={t}/{horizon} ({rate:.2f} lockstep steps/s)")
@@ -220,7 +225,7 @@ def _roll_episode(step_fn, bcarry, bact, episode_steps: int, n_lanes: int,
             rows_per_lane[lane].append(
                 {k: float(np.asarray(v).reshape(-1)[lane])
                  for k, v in host_info.items()})
-        if (t + 1) % 100 == 0 or time.perf_counter() - t_last_log > 240:
+        if (t + 1) % 25 == 0 or time.perf_counter() - t_last_log > 240:
             rate = (t + 1) / (time.perf_counter() - t_wall)
             log(f"  {label}: t={t + 1}/{episode_steps} ({rate:.2f} steps/s)")
             t_last_log = time.perf_counter()
