@@ -42,12 +42,8 @@ USER_DATA=$(python -c "from fluidgym_tpu.config import config; print(config.data
 mkdir -p "$USER_DATA/initial_domains"
 cp -rn fluidgym_tpu/data/initial_domains/. "$USER_DATA/initial_domains/" 2>>"$LOG"
 
-step 5400 $GEN CylinderJet3D-medium-v0 --lanes 2 --n-domains 2 \
-    --transient-steps 999999 --transient-split 4 --bundle
-step 2700 $V CylinderJet3D-medium-v0 --steps 200
-grab '"env_id": "CylinderJet3D-medium-v0"' \
-    bench_assets/validation/cyljet3d_medium.json
-step 7200 $GEN CylinderJet3D-hard-v0 --lanes 1 --n-domains 2 \
+# (CylinderJet3D-medium generated + validated in the first B2 launch)
+step 9000 $GEN CylinderJet3D-hard-v0 --lanes 2 --n-domains 2 \
     --transient-steps 999999 --transient-split 4 --bundle
 step 9000 $GEN Airfoil3D-easy-v0 --lanes 2 --n-domains 2 \
     --episode-steps 60 --transient-steps 999999 --transient-split 4 --bundle
