@@ -10,6 +10,11 @@
 set -u
 MAX=$1; LOG=$2; shift 2
 SILENCE=${SILENCE:-450}
+# No silence-kill inside an attempt's first GRACE seconds: cold server-side
+# compiles are host-idle AND (on this client) heartbeat-suppressed, so they
+# are indistinguishable from a wedge; killing one restarts the compile from
+# scratch (kill-loop).  An early wedge just costs GRACE instead of SILENCE.
+GRACE=${GRACE:-1500}
 START=$(date +%s)
 attempt=0
 while :; do
@@ -20,6 +25,7 @@ while :; do
   echo "=== resilient attempt $attempt ($(date +%H:%M:%S), ${left}s left): $* ===" >> "$LOG"
   "$@" >> "$LOG" 2>&1 &
   pid=$!
+  astart=$(date +%s)
   last=$(stat -c %s "$LOG" 2>/dev/null || echo 0); quiet=0
   while kill -0 "$pid" 2>/dev/null; do
     sleep 30
@@ -33,7 +39,8 @@ while :; do
     size=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
     if [ "$size" = "$last" ]; then quiet=$((quiet + 30)); else quiet=0; fi
     last=$size
-    if [ "$quiet" -ge "$SILENCE" ]; then
+    if [ "$quiet" -ge "$SILENCE" ] \
+        && [ $((now - astart)) -ge "$GRACE" ]; then
       echo "!!! resilient: ${quiet}s silent (wedge), killing attempt $attempt" >> "$LOG"
       kids=$(ps -o pid= --ppid "$pid" 2>/dev/null)
       kill "$pid" $kids 2>/dev/null; sleep 5; kill -9 "$pid" $kids 2>/dev/null
