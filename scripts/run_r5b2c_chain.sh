@@ -31,8 +31,13 @@ step() {
   $R "$budget" "$LOG" "$@"
 }
 
-step 9000 $GEN TCFLarge3D-bottom-easy-v0 --lanes 1 \
-    --n-domains 2 --episode-steps 40 --bundle
+# lanes=2: both burn-in jobs in ONE lockstep chunk (serial chunks would
+# double the wall time); burnin-scale 0.7 = 35 ETT (reference protocol is
+# 50; the full-size Re180 box develops from Reichardt+curl-noise well
+# inside that — documented in VALIDATION.md) so the step fits the
+# remaining chip window
+step 9000 $GEN TCFLarge3D-bottom-easy-v0 --lanes 2 \
+    --n-domains 2 --episode-steps 40 --burnin-scale 0.7 --bundle
 step 2400 $V TCFLarge3D-bottom-easy-v0 --burnin 80 --n-stat 200
 grep -h '"env_id": "TCFLarge3D-bottom-easy-v0"' "$LOG" | tail -1 \
     > bench_assets/validation/tcflarge_re180.json
